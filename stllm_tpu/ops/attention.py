@@ -1,0 +1,268 @@
+"""Attention ops: Pallas TPU flash attention + XLA reference.
+
+TPU-native replacement for the reference's optional flash-attn v2 CUDA path
+(reference: stllm/models/modeling_llama_mem.py:172-248) and its plain softmax
+attention (reference: stllm/models/eva_vit.py:122-148). One implementation
+serves both: non-causal for the ViT (B·T frames of 257 tokens, batched), causal
+with padding masks for LLaMA prefill.
+
+API convention: q/k/v are (batch, seq, heads, head_dim). fp32 accumulation,
+io dtype preserved. ``kv_mask``/``q_mask`` are (batch, seq) boolean validity
+masks (True = real token), replacing torch's additive attention_mask tensors.
+
+The Pallas kernel uses the standard online-softmax (flash) recurrence with the
+kv loop as the innermost grid dimension and VMEM accumulators carried across
+grid steps. Backward falls back to the XLA reference (recomputed, memory-heavy
+but correct); a Pallas backward is a later optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementation (ground truth + CPU/backward path)
+# ---------------------------------------------------------------------------
+
+def mha_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    q_mask: Optional[jax.Array] = None,
+    kv_mask: Optional[jax.Array] = None,
+    bias: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Plain softmax attention in fp32. q,k,v: (B, S, H, D)."""
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    scale = (d ** -0.5) if scale is None else scale
+    qf = q.astype(jnp.float32) * scale
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if causal:
+        qi = jnp.arange(sq)[:, None] + (sk - sq)
+        ki = jnp.arange(sk)[None, :]
+        logits = jnp.where((ki <= qi)[None, None], logits, NEG_INF)
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v.astype(jnp.float32))
+    if q_mask is not None:
+        out = out * q_mask[:, :, None, None]
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (forward)
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, kvm_ref,  # inputs
+    o_ref,                          # output
+    acc_ref, m_ref, l_ref,          # VMEM scratch carried over kv steps
+    *, causal: bool, scale: float, block_q: int, block_k: int,
+):
+    kv_idx = pl.program_id(2)
+    q_idx = pl.program_id(1)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q_start = q_idx * block_q
+    k_start = kv_idx * block_k
+
+    def _body():
+        q = q_ref[0].astype(jnp.float32) * scale          # (block_q, d)
+        k = k_ref[0].astype(jnp.float32)                  # (block_k, d)
+        v = v_ref[0].astype(jnp.float32)                  # (block_k, d)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bk)
+
+        kv_valid = kvm_ref[0] > 0                          # (1, block_k)
+        s = jnp.where(kv_valid, s, NEG_INF)
+        if causal:
+            qi = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            ki = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(ki <= qi, s, NEG_INF)
+
+        m_prev = m_ref[:]                                  # (bq, 1)
+        l_prev = l_ref[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)         # (bq, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                             # (bq, bk)
+        alpha = jnp.exp(m_prev - m_new)                    # (bq, 1)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        m_ref[:] = m_new
+        l_ref[:] = l_new
+
+    if causal:
+        # Skip kv blocks entirely above the diagonal.
+        pl.when(k_start <= q_start + block_q - 1)(_body)
+    else:
+        _body()
+
+    @pl.when(kv_idx == pl.num_programs(2) - 1)
+    def _finish():
+        l = l_ref[:]
+        # guard fully-masked rows (l == 0)
+        o_ref[0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+
+
+def _flash_forward(
+    q: jax.Array, k: jax.Array, v: jax.Array, kv_mask: jax.Array,
+    *, causal: bool, scale: float, block_q: int, block_k: int, interpret: bool,
+) -> jax.Array:
+    """q,k,v: (BH, S, D) padded to block multiples; kv_mask: (BH, 1, Sk) int32."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    grid = (bh, sq // block_q, sk // block_k)
+
+    kernel = functools.partial(
+        _flash_kernel, causal=causal, scale=scale,
+        block_q=block_q, block_k=block_k,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, kv_mask)
+
+
+def _pad_to(x: jax.Array, axis: int, multiple: int, value=0.0) -> jax.Array:
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _round_block(seq: int, preferred: int) -> int:
+    if seq >= preferred:
+        return preferred
+    # smallest sublane-aligned block covering the whole (short) sequence
+    # (16-row alignment satisfies bf16 tiling)
+    return max(16, -(-seq // 16) * 16)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9)
+)
+def _flash_attention_core(q, k, v, q_mask, kv_mask, causal, scale, block_q, block_k, interpret):
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, sk), jnp.int32)
+    else:
+        kv_mask = kv_mask.astype(jnp.int32)
+
+    # (B, S, H, D) -> (B*H, S, D)
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(b * h, x.shape[1], x.shape[3])
+
+    qp = _pad_to(fold(q), 1, block_q)
+    kp = _pad_to(fold(k), 1, block_k)
+    vp = _pad_to(fold(v), 1, block_k)
+    mp = _pad_to(jnp.repeat(kv_mask, h, axis=0), 1, block_k, value=0)[:, None, :]
+    # pad head_dim to lane width
+    qp = _pad_to(qp, 2, 128)
+    kp = _pad_to(kp, 2, 128)
+    vp = _pad_to(vp, 2, 128)
+
+    out = _flash_forward(
+        qp, kp, vp, mp, causal=causal, scale=scale, block_q=block_q,
+        block_k=block_k, interpret=interpret,
+    )
+    out = out[:, :sq, :d].reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+    if q_mask is not None:
+        out = out * q_mask[:, :, None, None].astype(out.dtype)
+    return out
+
+
+def _core_fwd(q, k, v, q_mask, kv_mask, causal, scale, block_q, block_k, interpret):
+    out = _flash_attention_core(q, k, v, q_mask, kv_mask, causal, scale, block_q, block_k, interpret)
+    return out, (q, k, v, q_mask, kv_mask)
+
+
+def _core_bwd(causal, scale, block_q, block_k, interpret, res, g):
+    q, k, v, q_mask, kv_mask = res
+    # Recompute-through-reference backward: correct, O(S^2) memory.
+    def ref(q, k, v):
+        return mha_reference(
+            q, k, v, causal=causal, q_mask=q_mask, kv_mask=kv_mask, scale=scale
+        )
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+_flash_attention_core.defvjp(_core_fwd, _core_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    q_mask: Optional[jax.Array] = None,
+    kv_mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    use_pallas: Optional[bool] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Flash attention. q,k,v: (B, S, H, D). Returns (B, Sq, H, D).
+
+    ``use_pallas=None`` auto-selects: Pallas on TPU backends, XLA reference
+    elsewhere (CPU tests run both and compare).
+    """
+    d = q.shape[-1]
+    scale = (d ** -0.5) if scale is None else scale
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if not use_pallas:
+        return mha_reference(
+            q, k, v, causal=causal, q_mask=q_mask, kv_mask=kv_mask, scale=scale
+        )
+    bq = _round_block(q.shape[1], block_q)
+    bk = _round_block(k.shape[1], block_k)
+    return _flash_attention_core(q, k, v, q_mask, kv_mask, causal, scale, bq, bk, interpret)

@@ -1,0 +1,164 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stllm_tpu.ops.attention import flash_attention, mha_reference
+from stllm_tpu.ops.layers import (
+    gelu,
+    init_layer_norm,
+    init_linear,
+    init_rms_norm,
+    layer_norm,
+    linear,
+    mlp,
+    rms_norm,
+    swiglu_mlp,
+)
+from stllm_tpu.ops.rope import apply_rope, rope_table
+
+
+def _qkv(rng, b, s, h, d, sk=None, dtype=jnp.float32):
+    ks = jax.random.split(rng, 3)
+    sk = sk or s
+    q = jax.random.normal(ks[0], (b, s, h, d), dtype)
+    k = jax.random.normal(ks[1], (b, sk, h, d), dtype)
+    v = jax.random.normal(ks[2], (b, sk, h, d), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("shape", [(2, 64, 4, 32), (1, 100, 2, 88)])
+def test_flash_matches_reference(causal, shape):
+    b, s, h, d = shape
+    q, k, v = _qkv(jax.random.PRNGKey(0), b, s, h, d)
+    ref = mha_reference(q, k, v, causal=causal)
+    out = flash_attention(q, k, v, causal=causal, use_pallas=True, interpret=True,
+                          block_q=32, block_k=32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_kv_mask():
+    b, s, h, d = 2, 48, 2, 16
+    q, k, v = _qkv(jax.random.PRNGKey(1), b, s, h, d)
+    kv_mask = jnp.arange(s)[None, :] < jnp.array([[30], [48]])
+    ref = mha_reference(q, k, v, kv_mask=kv_mask)
+    out = flash_attention(q, k, v, kv_mask=kv_mask, use_pallas=True, interpret=True,
+                          block_q=16, block_k=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_cross_attention_shapes():
+    # queries and keys of different lengths (Q-Former style)
+    q, k, v = _qkv(jax.random.PRNGKey(2), 2, 32, 4, 24, sk=257)
+    ref = mha_reference(q, k, v)
+    out = flash_attention(q, k, v, use_pallas=True, interpret=True,
+                          block_q=32, block_k=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_gradients_match_reference():
+    b, s, h, d = 1, 32, 2, 16
+    q, k, v = _qkv(jax.random.PRNGKey(3), b, s, h, d)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, causal=True, use_pallas=True, interpret=True,
+                            block_q=16, block_k=16) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4)
+
+
+def test_flash_bf16_io():
+    q, k, v = _qkv(jax.random.PRNGKey(4), 2, 64, 2, 32, dtype=jnp.bfloat16)
+    out = flash_attention(q, k, v, use_pallas=True, interpret=True,
+                          block_q=32, block_k=32)
+    assert out.dtype == jnp.bfloat16
+    ref = mha_reference(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2
+    )
+
+
+def test_layer_norm_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = np.random.RandomState(0).randn(4, 16).astype(np.float32)
+    p = init_layer_norm(16)
+    p["scale"] = jnp.asarray(np.random.RandomState(1).randn(16).astype(np.float32))
+    p["bias"] = jnp.asarray(np.random.RandomState(2).randn(16).astype(np.float32))
+    got = layer_norm(p, jnp.asarray(x), eps=1e-6)
+    ln = torch.nn.LayerNorm(16, eps=1e-6)
+    with torch.no_grad():
+        ln.weight.copy_(torch.from_numpy(np.asarray(p["scale"])))
+        ln.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+        want = ln(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_rms_norm_matches_torch_llama():
+    torch = pytest.importorskip("torch")
+    x = np.random.RandomState(0).randn(2, 8, 32).astype(np.float32)
+    scale = np.random.RandomState(1).rand(32).astype(np.float32)
+    got = rms_norm({"scale": jnp.asarray(scale)}, jnp.asarray(x), eps=1e-6)
+    # HF LlamaRMSNorm semantics
+    xt = torch.from_numpy(x)
+    var = xt.pow(2).mean(-1, keepdim=True)
+    want = (xt * torch.rsqrt(var + 1e-6)) * torch.from_numpy(scale)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-5)
+
+
+def test_gelu_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = np.linspace(-4, 4, 101, dtype=np.float32)
+    got = gelu(jnp.asarray(x))
+    want = torch.nn.functional.gelu(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_linear_and_mlps():
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 4)
+    x = jax.random.normal(ks[0], (2, 8))
+    p = init_linear(ks[1], 8, 16)
+    y = linear(p, x)
+    assert y.shape == (2, 16)
+    mp = {"fc1": init_linear(ks[1], 8, 32), "fc2": init_linear(ks[2], 32, 8)}
+    assert mlp(mp, x).shape == (2, 8)
+    sp = {
+        "gate": init_linear(ks[1], 8, 32, bias=False),
+        "up": init_linear(ks[2], 8, 32, bias=False),
+        "down": init_linear(ks[3], 32, 8, bias=False),
+    }
+    assert swiglu_mlp(sp, x).shape == (2, 8)
+
+
+def test_rope_matches_hf():
+    torch = pytest.importorskip("torch")
+    from transformers.models.llama.modeling_llama import (
+        LlamaRotaryEmbedding,
+        apply_rotary_pos_emb,
+    )
+    from transformers import LlamaConfig
+
+    b, s, h, d = 2, 10, 4, 16
+    x = np.random.RandomState(0).randn(b, s, h, d).astype(np.float32)
+    cos, sin = rope_table(d, 32)
+    positions = jnp.tile(jnp.arange(s)[None], (b, 1))
+    got = apply_rope(jnp.asarray(x), cos, sin, positions)
+
+    cfg = LlamaConfig(hidden_size=h * d, num_attention_heads=h, max_position_embeddings=32)
+    rot = LlamaRotaryEmbedding(config=cfg)
+    xt = torch.from_numpy(x).permute(0, 2, 1, 3)  # (b, h, s, d)
+    pos = torch.arange(s)[None].repeat(b, 1)
+    tcos, tsin = rot(xt, pos)
+    want, _ = apply_rotary_pos_emb(xt, xt, tcos, tsin)
+    np.testing.assert_allclose(
+        np.asarray(got), want.permute(0, 2, 1, 3).numpy(), atol=1e-5
+    )
