@@ -1,0 +1,146 @@
+"""EVA-ViT-g visual encoder, TPU-native.
+
+Re-design of the reference's EVA ViT (reference: stllm/models/eva_vit.py:246-443,
+hyperparams at :416-428): patch 14, width 1408, depth 39, 16 heads (head_dim 88),
+MLP hidden 6144 (mlp_ratio 4.3637), abs pos embed, pre-norm blocks with
+q/v-only qkv bias (k bias fixed at zero), LN eps 1e-6, returns all 257 tokens.
+
+TPU-first choices:
+  - NHWC images; patch embedding as reshape+matmul (stride == kernel so a conv
+    is just a blocked matmul the MXU loves).
+  - flash-attention (Pallas) over tokens, frames batched on the leading axis
+    (B·T frames per call — the reference loops DataParallel-style instead).
+  - params bf16, LayerNorm stats fp32 (reference keeps fp16 weights + fp32 LN).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from stllm_tpu.ops.attention import flash_attention
+from stllm_tpu.ops.layers import gelu, init_layer_norm, init_linear, layer_norm, linear
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1408
+    depth: int = 39
+    heads: int = 16
+    mlp_hidden: int = 6144  # int(1408 * 4.3637)
+    ln_eps: float = 1e-6
+    dtype: Any = jnp.bfloat16
+    remat: bool = False
+    # attention backend: None = auto (pallas on TPU)
+    use_flash: Optional[bool] = None
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.heads
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1
+
+
+EVA_VIT_G = ViTConfig()
+
+
+def init_vit(rng: jax.Array, cfg: ViTConfig) -> Dict:
+    ks = iter(jax.random.split(rng, 4 + 6 * cfg.depth))
+    d, h = cfg.width, cfg.mlp_hidden
+    patch_dim = cfg.patch_size * cfg.patch_size * 3
+    params: Dict = {
+        "patch_embed": init_linear(next(ks), patch_dim, d, cfg.dtype),
+        "cls_token": jnp.zeros((1, 1, d), cfg.dtype),
+        "pos_embed": (jax.random.truncated_normal(next(ks), -2, 2, (1, cfg.seq_len, d)) * 0.02).astype(cfg.dtype),
+        "blocks": [],
+    }
+    for _ in range(cfg.depth):
+        params["blocks"].append(
+            {
+                "norm1": init_layer_norm(d, cfg.dtype),
+                "qkv": init_linear(next(ks), d, 3 * d, cfg.dtype, bias=False),
+                "q_bias": jnp.zeros((d,), cfg.dtype),
+                "v_bias": jnp.zeros((d,), cfg.dtype),
+                "proj": init_linear(next(ks), d, d, cfg.dtype),
+                "norm2": init_layer_norm(d, cfg.dtype),
+                "fc1": init_linear(next(ks), d, h, cfg.dtype),
+                "fc2": init_linear(next(ks), h, d, cfg.dtype),
+            }
+        )
+    return params
+
+
+def patchify(images: jax.Array, patch: int) -> jax.Array:
+    """(B, H, W, C) -> (B, h*w, patch*patch*C), row-major patches.
+
+    Feature order matches a torch Conv2d(patch, stride=patch) kernel flattened
+    as (C, ph, pw) -> so we emit (ph, pw, C) and the converter permutes torch
+    weights accordingly.
+    """
+    b, hh, ww, c = images.shape
+    nh, nw = hh // patch, ww // patch
+    x = images.reshape(b, nh, patch, nw, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, nh, nw, ph, pw, C)
+    return x.reshape(b, nh * nw, patch * patch * c)
+
+
+def _attention(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
+    b, n, d = x.shape
+    qkv_bias = jnp.concatenate(
+        [block["q_bias"], jnp.zeros_like(block["q_bias"]), block["v_bias"]]
+    )
+    qkv = jnp.dot(x, block["qkv"]["w"].astype(x.dtype)) + qkv_bias.astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, n, cfg.heads, cfg.head_dim)
+    k = k.reshape(b, n, cfg.heads, cfg.head_dim)
+    v = v.reshape(b, n, cfg.heads, cfg.head_dim)
+    out = flash_attention(q, k, v, use_pallas=cfg.use_flash)
+    return linear(block["proj"], out.reshape(b, n, d))
+
+
+def vit_block(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
+    x = x + _attention(block, layer_norm(block["norm1"], x, cfg.ln_eps), cfg)
+    h = layer_norm(block["norm2"], x, cfg.ln_eps)
+    h = linear(block["fc2"], gelu(linear(block["fc1"], h)))
+    return x + h
+
+
+def vit_forward(params: Dict, images: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """images: (B, H, W, C) normalized. Returns (B, 257, width) tokens."""
+    x = patchify(images.astype(cfg.dtype), cfg.patch_size)
+    x = linear(params["patch_embed"], x)
+    cls = jnp.broadcast_to(params["cls_token"], (x.shape[0], 1, cfg.width)).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(x.dtype)
+
+    block_fn = vit_block
+    if cfg.remat:
+        block_fn = jax.checkpoint(vit_block, static_argnums=(2,))
+    for block in params["blocks"]:
+        x = block_fn(block, x, cfg)
+    return x
+
+
+def interpolate_pos_embed(pos_embed: jax.Array, new_num_patches: int) -> jax.Array:
+    """Bicubic-resample the patch grid of an abs pos embed to a new resolution
+    (reference: stllm/models/eva_vit.py:373-394)."""
+    _, n, d = pos_embed.shape
+    old = int((n - 1) ** 0.5)
+    new = int(new_num_patches ** 0.5)
+    if old == new:
+        return pos_embed
+    cls, grid = pos_embed[:, :1], pos_embed[:, 1:]
+    grid = grid.reshape(1, old, old, d)
+    grid = jax.image.resize(grid, (1, new, new, d), method="bicubic")
+    return jnp.concatenate([cls, grid.reshape(1, new * new, d)], axis=1)
