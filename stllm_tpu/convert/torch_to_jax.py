@@ -238,6 +238,22 @@ def convert_qformer(state: Mapping[str, Any], cfg, dtype=None,
     return _to_dtype(params, dtype if dtype is not None else cfg.dtype)
 
 
+def hf_qformer_to_lavis(state: Mapping[str, Any]) -> Dict[str, Any]:
+    """Rename HF (Instruct)BlipQFormerModel keys to the LAVIS layout that
+    ``convert_qformer`` consumes (attention.attention -> attention.self,
+    embeddings.layernorm -> embeddings.LayerNorm, add Qformer.bert. prefix)."""
+    out = {}
+    for k, v in state.items():
+        nk = k
+        nk = nk.replace("attention.attention.", "attention.self.")
+        nk = nk.replace("crossattention.attention.", "crossattention.self.")
+        nk = nk.replace("embeddings.layernorm.", "embeddings.LayerNorm.")
+        if nk != "query_tokens":
+            nk = "Qformer.bert." + nk
+        out[nk] = v
+    return out
+
+
 # ---------------------------------------------------------------------------
 # ST-LLM release checkpoints (partial, strict=False semantics)
 # ---------------------------------------------------------------------------
