@@ -1,0 +1,229 @@
+"""Autoregressive generation with KV cache: greedy, sampling, beam search.
+
+Re-provides the reference's HF ``generate(inputs_embeds=...)`` usage
+(reference: stllm/conversation/conversation.py:231-243 — beam search, top-p,
+repetition/length penalty, StoppingCriteria on '###' token ids [835] and
+[2277, 29937]; greedy for MVBench at stllm/test/mvbench/mv_bench.py:274-277).
+
+Design: two jitted device programs (prefill, single-token decode step) driven
+by a Python loop that owns sampling bookkeeping and stop-sequence checks —
+one compilation per (batch, prompt-bucket) shape, per-token dispatch is a
+single device call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stllm_tpu.models.llama import (
+    KVCache,
+    LlamaConfig,
+    init_kv_cache,
+    llama_forward,
+    lm_head,
+)
+
+
+@dataclasses.dataclass
+class GenerationConfig:
+    max_new_tokens: int = 300
+    min_length: int = 1
+    do_sample: bool = False
+    num_beams: int = 1
+    top_p: float = 0.9
+    temperature: float = 1.0
+    repetition_penalty: float = 1.0
+    length_penalty: float = 1.0
+    stop_sequences: Sequence[Sequence[int]] = ((835,), (2277, 29937))  # '###'
+    eos_token_id: int = 2
+    pad_to_multiple: int = 64
+
+
+def _pad_prompt(embeds: jax.Array, mask: jax.Array, multiple: int):
+    s = embeds.shape[1]
+    pad = (-s) % multiple
+    if pad:
+        embeds = jnp.pad(embeds, ((0, 0), (0, pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    return embeds, mask
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_len"))
+def _prefill(params, embeds, mask, cfg: LlamaConfig, max_len: int):
+    cache = init_kv_cache(cfg, embeds.shape[0], max_len)
+    hidden, cache = llama_forward(
+        params, inputs_embeds=embeds, attention_mask=mask, cache=cache, cfg=cfg
+    )
+    # logits at each row's last VALID position
+    last = jnp.clip(mask.sum(axis=-1).astype(jnp.int32) - 1, 0)
+    last_hidden = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
+    return lm_head(params, last_hidden)[:, 0], cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _decode_step(params, token_ids, cache: KVCache, cfg: LlamaConfig):
+    embeds = params["embed_tokens"][token_ids][:, None].astype(cfg.dtype)
+    hidden, cache = llama_forward(params, inputs_embeds=embeds, cache=cache, cfg=cfg)
+    return lm_head(params, hidden)[:, 0], cache
+
+
+def _apply_repetition_penalty(logits: np.ndarray, generated: List[List[int]],
+                              penalty: float) -> np.ndarray:
+    if penalty == 1.0:
+        return logits
+    for row, ids in enumerate(generated):
+        for t in set(ids):
+            v = logits[row, t]
+            logits[row, t] = v * penalty if v < 0 else v / penalty
+    return logits
+
+
+def _sample_top_p(logits: np.ndarray, top_p: float, temperature: float,
+                  rng: np.random.Generator) -> np.ndarray:
+    logits = logits / max(temperature, 1e-5)
+    logits = logits - logits.max(axis=-1, keepdims=True)
+    probs = np.exp(logits)
+    probs /= probs.sum(axis=-1, keepdims=True)
+    out = np.empty(len(probs), np.int64)
+    for i, p in enumerate(probs):
+        order = np.argsort(-p)
+        cum = np.cumsum(p[order])
+        keep = cum - p[order] < top_p  # keep tokens until mass reached (incl. first above)
+        kept = order[keep]
+        kp = p[kept] / p[kept].sum()
+        out[i] = rng.choice(kept, p=kp)
+    return out
+
+
+def _ends_with(ids: List[int], suffix: Sequence[int]) -> bool:
+    n = len(suffix)
+    return len(ids) >= n and ids[-n:] == list(suffix)
+
+
+def generate(
+    params,
+    inputs_embeds: jax.Array,
+    attention_mask: Optional[jax.Array] = None,
+    *,
+    llama_cfg: LlamaConfig,
+    gen: GenerationConfig = GenerationConfig(),
+    seed: int = 0,
+) -> List[List[int]]:
+    """Generate token ids per batch row (stop sequence included when hit)."""
+    if gen.num_beams > 1:
+        return [
+            beam_search(
+                params,
+                inputs_embeds[i : i + 1],
+                None if attention_mask is None else attention_mask[i : i + 1],
+                llama_cfg=llama_cfg, gen=gen,
+            )
+            for i in range(inputs_embeds.shape[0])
+        ]
+
+    b, s, _ = inputs_embeds.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, s), jnp.int32)
+    embeds, mask = _pad_prompt(inputs_embeds, attention_mask, gen.pad_to_multiple)
+    max_len = embeds.shape[1] + gen.max_new_tokens
+    logits, cache = _prefill(params, embeds, mask, llama_cfg, max_len)
+
+    rng = np.random.default_rng(seed)
+    generated: List[List[int]] = [[] for _ in range(b)]
+    done = [False] * b
+    cur = None
+    for step in range(gen.max_new_tokens):
+        lg = np.array(logits, np.float32)
+        lg = _apply_repetition_penalty(lg, generated, gen.repetition_penalty)
+        if step < gen.min_length:
+            lg[:, gen.eos_token_id] = -1e30
+        if gen.do_sample:
+            nxt = _sample_top_p(lg, gen.top_p, gen.temperature, rng)
+        else:
+            nxt = lg.argmax(axis=-1)
+        for i in range(b):
+            if not done[i]:
+                generated[i].append(int(nxt[i]))
+                if int(nxt[i]) == gen.eos_token_id or any(
+                    _ends_with(generated[i], stop) for stop in gen.stop_sequences
+                ):
+                    done[i] = True
+        if all(done):
+            break
+        cur = jnp.asarray(nxt, jnp.int32)
+        logits, cache = _decode_step(params, cur, cache, llama_cfg)
+    return generated
+
+
+def beam_search(
+    params,
+    inputs_embeds: jax.Array,   # (1, S, d)
+    attention_mask: Optional[jax.Array],
+    *,
+    llama_cfg: LlamaConfig,
+    gen: GenerationConfig,
+) -> List[int]:
+    """HF-style length-penalized beam search for a single prompt."""
+    k = gen.num_beams
+    s = inputs_embeds.shape[1]
+    if attention_mask is None:
+        attention_mask = jnp.ones((1, s), jnp.int32)
+    embeds = jnp.repeat(inputs_embeds, k, axis=0)
+    mask = jnp.repeat(attention_mask, k, axis=0)
+    embeds, mask = _pad_prompt(embeds, mask, gen.pad_to_multiple)
+    max_len = embeds.shape[1] + gen.max_new_tokens
+    logits, cache = _prefill(params, embeds, mask, llama_cfg, max_len)
+
+    beams: List[Tuple[float, List[int]]] = [(0.0, [])] + [(-1e9, [])] * (k - 1)
+    finished: List[Tuple[float, List[int]]] = []
+
+    for step in range(gen.max_new_tokens):
+        lg = np.array(logits, np.float32)
+        if step < gen.min_length:
+            lg[:, gen.eos_token_id] = -1e30
+        logp = lg - np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(-1, keepdims=True)) - lg.max(-1, keepdims=True)
+        cand = []
+        for bi, (score, ids) in enumerate(beams):
+            top = np.argpartition(-logp[bi], 2 * k)[: 2 * k]
+            for t in top:
+                cand.append((score + float(logp[bi, t]), ids + [int(t)], bi))
+        cand.sort(key=lambda c: -c[0])
+
+        new_beams, reorder, next_tokens = [], [], []
+        for score, ids, bi in cand:
+            stopped = (
+                ids[-1] == gen.eos_token_id
+                or any(_ends_with(ids, st) for st in gen.stop_sequences)
+            )
+            if stopped:
+                finished.append((score / (len(ids) ** gen.length_penalty), ids))
+            else:
+                new_beams.append((score, ids))
+                reorder.append(bi)
+                next_tokens.append(ids[-1])
+            if len(new_beams) == k:
+                break
+        if len(finished) >= k or not new_beams:
+            break
+        while len(new_beams) < k:  # degenerate: pad with copies
+            new_beams.append(new_beams[-1])
+            reorder.append(reorder[-1])
+            next_tokens.append(next_tokens[-1])
+        beams = new_beams
+        idx = jnp.asarray(reorder, jnp.int32)
+        cache = KVCache(k=cache.k[:, idx], v=cache.v[:, idx], length=cache.length[idx])
+        logits, cache = _decode_step(
+            params, jnp.asarray(next_tokens, jnp.int32), cache, llama_cfg
+        )
+
+    if not finished:
+        finished = [(score / (max(len(ids), 1) ** gen.length_penalty), ids)
+                    for score, ids in beams]
+    finished.sort(key=lambda c: -c[0])
+    return finished[0][1]

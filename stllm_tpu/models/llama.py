@@ -1,0 +1,233 @@
+"""LLaMA decoder (Vicuna-7B), TPU-native.
+
+Replaces the reference's HF ``LlamaForCausalLM`` backbone
+(reference: stllm/models/st_llm.py:45-203 subclasses it; the optional CUDA
+flash-attn variant lives at stllm/models/modeling_llama_mem.py). Semantics
+follow LLaMA-1 / Vicuna-7B v1.1: RMSNorm (eps 1e-6), RoPE theta 10000,
+SwiGLU MLP (intermediate 11008), 32 layers x 32 heads x 128 head_dim,
+vocab 32000, untied lm_head.
+
+TPU-first choices:
+  - single jittable ``llama_forward`` serving both prefill (Pallas causal flash
+    attention) and KV-cache decode (single-step attention against a static
+    max-length cache via dynamic_update_slice — no dynamic shapes);
+  - ``inputs_embeds`` first-class (ST-LLM always splices video embeddings);
+  - bf16 params, fp32 RMSNorm stats and fp32 logits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stllm_tpu.ops.attention import flash_attention, mha_reference
+from stllm_tpu.ops.layers import init_linear, init_rms_norm, linear, rms_norm, swiglu_mlp
+from stllm_tpu.ops.rope import apply_rope, rope_table
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden: int = 4096
+    num_layers: int = 32
+    heads: int = 32
+    intermediate: int = 11008
+    max_positions: int = 2048
+    rms_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    dtype: Any = jnp.bfloat16
+    remat: bool = False
+    use_flash: Optional[bool] = None
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.heads
+
+
+VICUNA_7B = LlamaConfig()
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache: k/v are (layers, B, max_len, heads, head_dim);
+    ``length`` is the number of valid positions (per batch row)."""
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array  # (B,) int32
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
+                  dtype=None) -> KVCache:
+    dtype = dtype or cfg.dtype
+    shape = (cfg.num_layers, batch, max_len, cfg.heads, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        length=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def init_llama(rng: jax.Array, cfg: LlamaConfig) -> Dict:
+    ks = iter(jax.random.split(rng, 3 + 7 * cfg.num_layers))
+    d, m = cfg.hidden, cfg.intermediate
+    params: Dict = {
+        "embed_tokens": (jax.random.normal(next(ks), (cfg.vocab_size, d)) * 0.02).astype(cfg.dtype),
+        "norm": init_rms_norm(d, cfg.dtype),
+        "lm_head": init_linear(next(ks), d, cfg.vocab_size, cfg.dtype, bias=False),
+        "layers": [],
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append(
+            {
+                "input_norm": init_rms_norm(d, cfg.dtype),
+                "q": init_linear(next(ks), d, d, cfg.dtype, bias=False),
+                "k": init_linear(next(ks), d, d, cfg.dtype, bias=False),
+                "v": init_linear(next(ks), d, d, cfg.dtype, bias=False),
+                "o": init_linear(next(ks), d, d, cfg.dtype, bias=False),
+                "post_norm": init_rms_norm(d, cfg.dtype),
+                "gate": init_linear(next(ks), d, m, cfg.dtype, bias=False),
+                "up": init_linear(next(ks), d, m, cfg.dtype, bias=False),
+                "down": init_linear(next(ks), m, d, cfg.dtype, bias=False),
+            }
+        )
+    return params
+
+
+def _layer(
+    layer: Dict,
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    positions: jax.Array,
+    attn_mask: Optional[jax.Array],
+    cfg: LlamaConfig,
+    cache_kv: Optional[Tuple[jax.Array, jax.Array]],
+    cache_len: Optional[jax.Array],
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    b, s, d = x.shape
+    h = rms_norm(layer["input_norm"], x, cfg.rms_eps)
+    q = linear(layer["q"], h).reshape(b, s, cfg.heads, cfg.head_dim)
+    k = linear(layer["k"], h).reshape(b, s, cfg.heads, cfg.head_dim)
+    v = linear(layer["v"], h).reshape(b, s, cfg.heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin, positions)
+    k = apply_rope(k, cos, sin, positions)
+
+    if cache_kv is None:
+        # prefill: causal attention with padding mask
+        out = flash_attention(
+            q, k, v, causal=True, kv_mask=attn_mask, use_pallas=cfg.use_flash
+        )
+        new_cache = (k, v)
+    else:
+        # decode / prefill-into-cache: write new k/v at each row's offset, then
+        # attend causally against absolute positions (kv_pos <= cache_len + i).
+        ck, cv = cache_kv  # (B, max_len, H, D)
+
+        def write(c, new):
+            def row(c_row, new_row, off):
+                return jax.lax.dynamic_update_slice(c_row, new_row.astype(c_row.dtype), (off, 0, 0))
+            return jax.vmap(row)(c, new, cache_len)
+
+        ck = write(ck, k)
+        cv = write(cv, v)
+        max_len = ck.shape[1]
+        kv_pos = jnp.arange(max_len)[None, None, :]                    # (1,1,max)
+        q_abs = cache_len[:, None, None] + jnp.arange(s)[None, :, None]  # (B,s,1)
+        mask = kv_pos <= q_abs
+        out = mha_reference(q, ck, cv, mask=mask)
+        new_cache = (ck, cv)
+
+    out = linear(layer["o"], out.reshape(b, s, d))
+    x = x + out
+    h2 = rms_norm(layer["post_norm"], x, cfg.rms_eps)
+    x = x + swiglu_mlp(layer, h2)
+    return x, new_cache
+
+
+def llama_forward(
+    params: Dict,
+    *,
+    input_ids: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    attention_mask: Optional[jax.Array] = None,  # (B, S) validity of the inputs
+    positions: Optional[jax.Array] = None,        # (B, S) absolute positions
+    cache: Optional[KVCache] = None,
+    cfg: LlamaConfig = VICUNA_7B,
+) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Returns (hidden_states (B,S,d), updated cache or None).
+
+    Prefill: pass cache=None (no cache kept) or a fresh ``init_kv_cache`` —
+    with a cache the computed k/v are written at offset 0..S and length set.
+    Decode: pass the running cache; positions default to cache.length.
+    """
+    if inputs_embeds is None:
+        inputs_embeds = params["embed_tokens"][input_ids].astype(cfg.dtype)
+    x = inputs_embeds.astype(cfg.dtype)
+    b, s, _ = x.shape
+
+    cos, sin = rope_table(cfg.head_dim, cfg.max_positions, cfg.rope_theta)
+    if positions is None:
+        if cache is not None:
+            positions = cache.length[:, None] + jnp.arange(s)[None, :]
+        else:
+            positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+
+    new_k, new_v = [], []
+    layer_fn = _layer
+    if cfg.remat:
+        layer_fn = jax.checkpoint(_layer, static_argnums=(6,))
+
+    for i, layer in enumerate(params["layers"]):
+        cache_kv = (cache.k[i], cache.v[i]) if cache is not None else None
+        x, updated = layer_fn(
+            layer, x, cos, sin, positions, attention_mask, cfg,
+            cache_kv, cache.length if cache is not None else None,
+        )
+        if cache is not None:
+            new_k.append(updated[0])
+            new_v.append(updated[1])
+
+    x = rms_norm(params["norm"], x, cfg.rms_eps)
+    new_cache = None
+    if cache is not None:
+        valid = (
+            attention_mask.sum(axis=-1).astype(jnp.int32)
+            if attention_mask is not None
+            else jnp.full((b,), s, jnp.int32)
+        )
+        new_cache = KVCache(
+            k=jnp.stack(new_k), v=jnp.stack(new_v), length=cache.length + valid
+        )
+    return x, new_cache
+
+
+def lm_head(params: Dict, hidden: jax.Array) -> jax.Array:
+    """Logits in fp32."""
+    return jnp.dot(hidden.astype(jnp.float32), params["lm_head"]["w"].astype(jnp.float32))
+
+
+def prefill_with_cache(
+    params: Dict,
+    inputs_embeds: jax.Array,
+    attention_mask: jax.Array,
+    max_len: int,
+    cfg: LlamaConfig,
+) -> Tuple[jax.Array, KVCache]:
+    """Run prefill and return (hidden, cache) where the cache holds the prompt.
+
+    Prompts must be RIGHT-padded; cache.length = per-row valid count so decode
+    writes land immediately after each row's real prompt.
+    """
+    b, s, _ = inputs_embeds.shape
+    cache = init_kv_cache(cfg, b, max_len)
+    # fresh cache (length 0): k/v writes land at offset 0, attention is causal
+    return llama_forward(
+        params,
+        inputs_embeds=inputs_embeds,
+        attention_mask=attention_mask,
+        cache=cache,
+        cfg=cfg,
+    )

@@ -42,10 +42,15 @@ def mha_reference(
     causal: bool = False,
     q_mask: Optional[jax.Array] = None,
     kv_mask: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
     bias: Optional[jax.Array] = None,
     scale: Optional[float] = None,
 ) -> jax.Array:
-    """Plain softmax attention in fp32. q,k,v: (B, S, H, D)."""
+    """Plain softmax attention in fp32. q,k,v: (B, S, H, D).
+
+    ``mask``: optional (B, Sq, Sk) boolean, True = attend (general masking,
+    e.g. causal-against-KV-cache with per-row offsets).
+    """
     b, sq, h, d = q.shape
     sk = k.shape[1]
     scale = (d ** -0.5) if scale is None else scale
@@ -53,6 +58,8 @@ def mha_reference(
     logits = jnp.einsum("bqhd,bkhd->bhqk", qf, k.astype(jnp.float32))
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask[:, None], logits, NEG_INF)
     if causal:
         qi = jnp.arange(sq)[:, None] + (sk - sq)
         ki = jnp.arange(sk)[None, :]

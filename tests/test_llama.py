@@ -1,0 +1,173 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stllm_tpu.convert.torch_to_jax import convert_hf_llama
+from stllm_tpu.models.generation import GenerationConfig, generate
+from stllm_tpu.models.llama import (
+    LlamaConfig,
+    init_kv_cache,
+    init_llama,
+    llama_forward,
+    lm_head,
+    prefill_with_cache,
+)
+
+torch = pytest.importorskip("torch")
+
+TINY = LlamaConfig(
+    vocab_size=128, hidden=64, num_layers=3, heads=4, intermediate=128,
+    max_positions=256, dtype=jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_and_jax():
+    from transformers import LlamaConfig as HFConfig, LlamaForCausalLM
+
+    hf_cfg = HFConfig(
+        vocab_size=TINY.vocab_size, hidden_size=TINY.hidden,
+        num_hidden_layers=TINY.num_layers, num_attention_heads=TINY.heads,
+        num_key_value_heads=TINY.heads, intermediate_size=TINY.intermediate,
+        max_position_embeddings=TINY.max_positions, rms_norm_eps=TINY.rms_eps,
+        rope_theta=TINY.rope_theta, attn_implementation="eager",
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    params = convert_hf_llama(model.state_dict(), TINY, dtype=jnp.float32)
+    return model, params
+
+
+def test_logits_parity(hf_and_jax):
+    model, params = hf_and_jax
+    ids = np.random.RandomState(0).randint(0, TINY.vocab_size, (2, 11))
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids)).logits.numpy()
+    hidden, _ = llama_forward(params, input_ids=jnp.asarray(ids), cfg=TINY)
+    got = np.asarray(lm_head(params, hidden))
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-4)
+
+
+def test_inputs_embeds_parity(hf_and_jax):
+    model, params = hf_and_jax
+    rs = np.random.RandomState(1)
+    emb = rs.randn(1, 7, TINY.hidden).astype(np.float32) * 0.1
+    with torch.no_grad():
+        want = model(inputs_embeds=torch.from_numpy(emb)).logits.numpy()
+    hidden, _ = llama_forward(params, inputs_embeds=jnp.asarray(emb), cfg=TINY)
+    got = np.asarray(lm_head(params, hidden))
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-4)
+
+
+def test_kv_cache_decode_matches_full_forward(hf_and_jax):
+    _, params = hf_and_jax
+    ids = np.random.RandomState(2).randint(0, TINY.vocab_size, (2, 9))
+    # full forward (no cache)
+    hidden_full, _ = llama_forward(params, input_ids=jnp.asarray(ids), cfg=TINY)
+    logits_full = np.asarray(lm_head(params, hidden_full))
+
+    # prefill 6 tokens then decode 3 one at a time
+    embeds = params["embed_tokens"][jnp.asarray(ids[:, :6])]
+    hidden_pre, cache = prefill_with_cache(
+        params, embeds, jnp.ones((2, 6), jnp.int32), max_len=32, cfg=TINY
+    )
+    np.testing.assert_allclose(
+        np.asarray(lm_head(params, hidden_pre)), logits_full[:, :6], atol=1e-4, rtol=1e-4
+    )
+    for t in range(6, 9):
+        emb_t = params["embed_tokens"][jnp.asarray(ids[:, t : t + 1])]
+        hidden_t, cache = llama_forward(params, inputs_embeds=emb_t, cache=cache, cfg=TINY)
+        np.testing.assert_allclose(
+            np.asarray(lm_head(params, hidden_t))[:, 0], logits_full[:, t],
+            atol=1e-4, rtol=1e-4,
+        )
+    assert int(cache.length[0]) == 9
+
+
+def test_right_padded_prefill(hf_and_jax):
+    _, params = hf_and_jax
+    ids = np.random.RandomState(3).randint(0, TINY.vocab_size, (1, 5))
+    # unpadded
+    h_ref, _ = llama_forward(params, input_ids=jnp.asarray(ids), cfg=TINY)
+    l_ref = np.asarray(lm_head(params, h_ref))
+    # right-pad to 8 with mask
+    ids_p = np.pad(ids, ((0, 0), (0, 3)))
+    mask = np.array([[1, 1, 1, 1, 1, 0, 0, 0]])
+    embeds = params["embed_tokens"][jnp.asarray(ids_p)]
+    h_pad, cache = prefill_with_cache(
+        params, embeds, jnp.asarray(mask), max_len=16, cfg=TINY
+    )
+    l_pad = np.asarray(lm_head(params, h_pad))
+    np.testing.assert_allclose(l_pad[:, :5], l_ref, atol=1e-4, rtol=1e-4)
+    assert int(cache.length[0]) == 5
+    # decode continues right after the valid prompt
+    emb_t = params["embed_tokens"][jnp.asarray([[7]])]
+    h_t, cache = llama_forward(params, inputs_embeds=emb_t, cache=cache, cfg=TINY)
+    # oracle: unpadded 6-token forward
+    ids6 = np.concatenate([ids, [[7]]], axis=1)
+    h6, _ = llama_forward(params, input_ids=jnp.asarray(ids6), cfg=TINY)
+    np.testing.assert_allclose(
+        np.asarray(lm_head(params, h_t))[:, 0],
+        np.asarray(lm_head(params, h6))[:, 5],
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_greedy_generate_matches_hf(hf_and_jax):
+    model, params = hf_and_jax
+    rs = np.random.RandomState(4)
+    emb = (rs.randn(1, 6, TINY.hidden) * 0.05).astype(np.float32)
+    with torch.no_grad():
+        want = model.generate(
+            inputs_embeds=torch.from_numpy(emb), max_new_tokens=8, do_sample=False,
+            num_beams=1, pad_token_id=0,
+        )[0].tolist()
+    got = generate(
+        params, jnp.asarray(emb),
+        llama_cfg=TINY,
+        gen=GenerationConfig(max_new_tokens=8, stop_sequences=(), eos_token_id=2,
+                             pad_to_multiple=8),
+    )[0]
+    n = min(len(want), len(got))
+    assert got[:n] == want[:n]
+
+
+def test_beam_search_matches_hf(hf_and_jax):
+    model, params = hf_and_jax
+    rs = np.random.RandomState(5)
+    emb = (rs.randn(1, 6, TINY.hidden) * 0.05).astype(np.float32)
+    with torch.no_grad():
+        want = model.generate(
+            inputs_embeds=torch.from_numpy(emb), max_new_tokens=6, do_sample=False,
+            num_beams=3, pad_token_id=0, early_stopping=True,
+        )[0].tolist()
+    got = generate(
+        params, jnp.asarray(emb),
+        llama_cfg=TINY,
+        gen=GenerationConfig(max_new_tokens=6, num_beams=3, stop_sequences=(),
+                             eos_token_id=2, pad_to_multiple=8),
+    )[0]
+    # strip trailing eos/pad from HF output
+    want = [t for t in want if t != 0]
+    n = min(len(want), len(got))
+    assert got[:n] == want[:n]
+
+
+def test_stop_sequence_halts_generation(hf_and_jax):
+    _, params = hf_and_jax
+    emb = jnp.zeros((1, 4, TINY.hidden))
+    out = generate(
+        params, emb, llama_cfg=TINY,
+        gen=GenerationConfig(max_new_tokens=20, stop_sequences=(), pad_to_multiple=4),
+    )[0]
+    assert len(out) >= 2
+    # force the first generated token to be the stop sequence
+    out2 = generate(
+        params, emb, llama_cfg=TINY,
+        gen=GenerationConfig(max_new_tokens=20, stop_sequences=((out[0],),),
+                             pad_to_multiple=4),
+    )[0]
+    assert out2 == [out[0]]
