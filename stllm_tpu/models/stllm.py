@@ -1,0 +1,312 @@
+"""ST-LLM fusion model: ViT -> Q-Former -> projection -> LLaMA, with the three
+ST-LLM mechanisms (joint spatial-temporal input, dynamic video-token masking +
+MVM loss, global-local residual input).
+
+TPU-native re-design of the reference fusion core
+(reference: stllm/models/st_llm.py:205-606 — STLLMModel — and the MVM loss in
+STLLMLlamaModel.forward at st_llm.py:56-92, CE head at :116-146).
+
+Static-shape reformulation (the reference is dynamic everywhere):
+  - The reference splices prompt/video/answer embeddings per row with Python
+    loops and per-row lengths (prompt_wrap st_llm.py:379-407,
+    concat_emb_input_output :409-432). Here the HOST packs every row into a
+    fixed-length slot layout (stllm_tpu/data/packing.py): each slot carries a
+    text token id or a video-token index, right-padded; the device assembles
+    embeddings with one gather + where. One compiled program serves all rows.
+  - Dynamic video-token masking (st_llm.py:482-493: rate ~ clip(N(.5,.1),.1,.7),
+    per-row shuffled boolean mask) is drawn on the host; the student pack
+    simply contains fewer video slots (the kept ones, original order), the
+    teacher pack contains all of them. Shapes never change with the draw.
+  - The MVM loss (st_llm.py:86-91: mean over kept positions of 2-2*cosine
+    between student hidden states and no-grad teacher hidden states) becomes a
+    fixed-size gather over all V video tokens weighted by a keep mask.
+
+Both LLaMA passes (masked student + unmasked teacher) run inside ONE jitted
+step; the teacher is wrapped in stop_gradient (reference uses torch.no_grad,
+st_llm.py:78-84).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from stllm_tpu.models.llama import LlamaConfig, VICUNA_7B, llama_forward, lm_head
+from stllm_tpu.models.qformer import INSTRUCT_BLIP_QFORMER, QFormerConfig, init_qformer, qformer_forward
+from stllm_tpu.models.vit import EVA_VIT_G, ViTConfig, init_vit, vit_forward
+from stllm_tpu.ops.layers import init_layer_norm, init_linear, layer_norm, linear
+
+
+@dataclasses.dataclass(frozen=True)
+class STLLMConfig:
+    vit: ViTConfig = EVA_VIT_G
+    qformer: QFormerConfig = INSTRUCT_BLIP_QFORMER
+    llama: LlamaConfig = VICUNA_7B
+    # 'all' | 'mean' | 'residual' | None (reference: st_llm.py:463-478)
+    video_input: Optional[str] = "residual"
+    residual_size: int = 4
+    use_mask: bool = True
+    mvm_decode: bool = False
+    qformer_text_input: bool = True
+    vit_model: str = "eva_clip_g"     # or "eva_btadapter_g"
+    btadapter_depth: int = 3
+    max_txt_len: int = 32
+    end_sym: str = "\n"
+    # dynamic-mask distribution (reference: st_llm.py:484-485)
+    mask_mean: float = 0.5
+    mask_std: float = 0.1
+    mask_lo: float = 0.1
+    mask_hi: float = 0.7
+
+    @property
+    def num_query(self) -> int:
+        return self.qformer.num_query
+
+    def num_video_tokens(self, num_frames: int) -> int:
+        """Video tokens seen by the LLM after the video_input stage
+        (reference: st_llm.py:463-478)."""
+        if num_frames == 1:  # image path (use_image, st_llm.py:326)
+            return self.num_query
+        if self.video_input == "all":
+            return num_frames * self.num_query
+        if self.video_input == "mean":
+            return self.num_query
+        if self.video_input == "residual":
+            return self.residual_size * self.num_query
+        return num_frames * self.num_query
+
+
+def residual_frame_index(sample_segments: int, total_segments: int):
+    """Uniform segment-midpoint indices for the global-local module
+    (reference: st_llm.py:434-445). Pure Python — T is static under jit."""
+    seg = float(total_segments) / sample_segments
+    return [int(seg / 2 + round(seg * i)) for i in range(sample_segments)]
+
+
+def init_stllm(rng: jax.Array, cfg: STLLMConfig, init_llama_params: bool = True) -> Dict:
+    """Random init of the full fusion stack. Real weights come from
+    stllm_tpu/convert (eva_vit_g.pth, instruct_blip ckpt, Vicuna HF)."""
+    from stllm_tpu.models.llama import init_llama
+
+    k_vit, k_qf, k_llm, k_proj, k_down, k_dec = jax.random.split(rng, 6)
+    if cfg.vit_model == "eva_btadapter_g":
+        from stllm_tpu.models.btadapter import init_btadapter
+
+        vit_params = init_btadapter(k_vit, cfg.vit, cfg.btadapter_depth)
+    else:
+        vit_params = init_vit(k_vit, cfg.vit)
+    d_llm = cfg.llama.hidden
+    params: Dict = {
+        "vit": vit_params,
+        "ln_vision": init_layer_norm(cfg.vit.width, jnp.float32),
+        "qformer": init_qformer(k_qf, cfg.qformer, text_input=cfg.qformer_text_input),
+        "llama_proj": init_linear(k_proj, cfg.qformer.hidden, d_llm, cfg.llama.dtype),
+        "llama": init_llama(k_llm, cfg.llama) if init_llama_params else None,
+    }
+    if cfg.video_input == "residual":
+        # reference init: kaiming_uniform(a=sqrt(5)) down, ZERO up -> the module
+        # contributes nothing at step 0 (st_llm.py:240-247)
+        d_mid = d_llm // 4
+        bound = (6.0 / (6.0 * d_llm)) ** 0.5
+        params["residual"] = {
+            "down": {
+                "w": jax.random.uniform(k_down, (d_llm, d_mid), jnp.float32, -bound, bound).astype(cfg.llama.dtype),
+                "b": jnp.zeros((d_mid,), cfg.llama.dtype),
+            },
+            "up": {
+                "w": jnp.zeros((d_mid, d_llm), cfg.llama.dtype),
+                "b": jnp.zeros((d_llm,), cfg.llama.dtype),
+            },
+        }
+    if cfg.mvm_decode:
+        params["mvm_decoder"] = {
+            "head": init_linear(k_dec, d_llm, d_llm, cfg.llama.dtype),
+            "norm": init_layer_norm(d_llm, jnp.float32),
+        }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# encode path (reference: st_llm.py:321-377)
+# ---------------------------------------------------------------------------
+
+def encode_img(
+    params: Dict,
+    frames: jax.Array,                        # (B, T, H, W, C) normalized
+    cfg: STLLMConfig,
+    qformer_text_ids: Optional[jax.Array] = None,   # (B, Lq)
+    qformer_text_mask: Optional[jax.Array] = None,  # (B, Lq)
+) -> jax.Array:
+    """ViT over B*T frames -> fp32 ln_vision -> Q-Former (with per-frame
+    repeated question text when qformer_text_input) -> llama_proj.
+    Returns (B, T, num_query, d_llm)."""
+    b, t = frames.shape[:2]
+    flat = frames.reshape((b * t,) + frames.shape[2:])
+    if cfg.vit_model == "eva_btadapter_g":
+        from stllm_tpu.models.btadapter import btadapter_forward
+
+        image_embeds = btadapter_forward(params["vit"], flat, cfg.vit, num_frames=t)
+    else:
+        image_embeds = vit_forward(params["vit"], flat, cfg.vit)
+    image_embeds = layer_norm(params["ln_vision"], image_embeds, 1e-6)
+
+    ids = mask = None
+    if cfg.qformer_text_input and qformer_text_ids is not None:
+        # repeat each row's question once per frame (reference: st_llm.py:340-343)
+        ids = jnp.repeat(qformer_text_ids, t, axis=0)
+        mask = jnp.repeat(qformer_text_mask, t, axis=0) if qformer_text_mask is not None else None
+
+    q_out = qformer_forward(
+        params["qformer"],
+        encoder_hidden_states=image_embeds,
+        input_ids=ids,
+        attention_mask=mask,
+        cfg=cfg.qformer,
+    )[:, : cfg.num_query]
+    tokens = linear(params["llama_proj"], q_out.astype(cfg.llama.dtype))
+    return tokens.reshape(b, t, cfg.num_query, -1)
+
+
+def apply_video_input(params: Dict, img_embeds: jax.Array, cfg: STLLMConfig) -> jax.Array:
+    """(B, T, Q, D) -> (B, V, D) per the video_input mode
+    (reference: st_llm.py:463-478). T==1 (image) passes through untouched."""
+    b, t, q, d = img_embeds.shape
+    if t == 1:  # use_image path (st_llm.py:326)
+        return img_embeds.reshape(b, q, d)
+    if cfg.video_input == "mean":
+        return img_embeds.mean(axis=1)
+    if cfg.video_input == "residual":
+        idx = residual_frame_index(cfg.residual_size, t)
+        local = img_embeds[:, jnp.asarray(idx)]               # (B, R, Q, D)
+        glob = img_embeds.mean(axis=1, keepdims=True)          # (B, 1, Q, D)
+        adapter = linear(params["residual"]["up"],
+                         jax.nn.relu(linear(params["residual"]["down"], glob)))
+        return (local + adapter).reshape(b, cfg.residual_size * q, d)
+    # 'all' or None: every frame token goes to the LLM
+    return img_embeds.reshape(b, t * q, d)
+
+
+# ---------------------------------------------------------------------------
+# packed-sequence assembly + training forward
+# ---------------------------------------------------------------------------
+
+def assemble_embeddings(
+    embed_tokens: jax.Array,   # (vocab, D)
+    token_ids: jax.Array,      # (B, S) text token per slot (pad id elsewhere)
+    video_slot: jax.Array,     # (B, S) index into video tokens, or -1
+    video_embeds: jax.Array,   # (B, V, D)
+) -> jax.Array:
+    """Fill each slot with its text embedding or its video token — the
+    static-shape equivalent of prompt_wrap + concat_emb_input_output
+    (reference: st_llm.py:379-432)."""
+    text = embed_tokens[token_ids].astype(video_embeds.dtype)
+    is_vid = video_slot >= 0
+    gathered = jnp.take_along_axis(
+        video_embeds, jnp.maximum(video_slot, 0)[..., None], axis=1
+    )
+    return jnp.where(is_vid[..., None], gathered, text)
+
+
+def _mvm_project(params: Dict, x: jax.Array, cfg: STLLMConfig) -> jax.Array:
+    """Optional Linear_Decoder head on student states (reference: st_llm.py:35-43, 75-76)."""
+    if cfg.mvm_decode and params.get("mvm_decoder") is not None:
+        dec = params["mvm_decoder"]
+        return layer_norm(dec["norm"], linear(dec["head"], x), 1e-5)
+    return x
+
+
+def cross_entropy_shifted(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """HF-style shifted CE with -100 ignore, mean over real targets
+    (reference: st_llm.py:124-135)."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != -100
+    safe = jnp.maximum(shift_labels, 0)
+    logz = jax.nn.logsumexp(shift_logits, axis=-1)
+    tok = jnp.take_along_axis(shift_logits, safe[..., None], axis=-1)[..., 0]
+    nll = (logz - tok) * valid
+    return nll.sum() / jnp.maximum(valid.sum(), 1)
+
+
+def stllm_forward(params: Dict, batch: Dict[str, jax.Array], cfg: STLLMConfig) -> Dict[str, jax.Array]:
+    """Full training forward: encode + pack-assemble + (masked LLaMA, teacher
+    LLaMA) + CE + MVM. ``batch`` is produced by stllm_tpu.data.packing:
+
+      frames             (B, T, H, W, C)
+      qformer_input_ids  (B, Lq)  [optional]   qformer_attention_mask (B, Lq)
+      token_ids          (B, S)   student slot text ids
+      video_slot         (B, S)   student slot video index or -1
+      attn_mask          (B, S)   1 = real slot
+      labels             (B, S)   -100 except answer tokens
+      [when use_mask]
+      t_token_ids / t_video_slot / t_attn_mask    teacher (unmasked) pack
+      mvm_student_slots  (B, V)   slot of video tok v in the student seq (0 if dropped)
+      mvm_teacher_slots  (B, V)   slot of video tok v in the teacher seq
+      mvm_weight         (B, V)   1.0 where kept
+    """
+    img = encode_img(
+        params, batch["frames"], cfg,
+        batch.get("qformer_input_ids"), batch.get("qformer_attention_mask"),
+    )
+    video = apply_video_input(params, img, cfg)   # (B, V, D)
+
+    embeds = assemble_embeddings(
+        params["llama"]["embed_tokens"], batch["token_ids"], batch["video_slot"], video
+    )
+    hidden, _ = llama_forward(
+        params["llama"], inputs_embeds=embeds,
+        attention_mask=batch["attn_mask"], cfg=cfg.llama,
+    )
+    logits = lm_head(params["llama"], hidden)
+    loss_ce = cross_entropy_shifted(logits, batch["labels"])
+
+    out = {"loss_ce": loss_ce, "loss": loss_ce, "logits": logits}
+
+    if "mvm_weight" in batch:
+        t_embeds = assemble_embeddings(
+            params["llama"]["embed_tokens"], batch["t_token_ids"],
+            batch["t_video_slot"], video,
+        )
+        t_hidden, _ = llama_forward(
+            params["llama"], inputs_embeds=jax.lax.stop_gradient(t_embeds),
+            attention_mask=batch["t_attn_mask"], cfg=cfg.llama,
+        )
+        t_hidden = jax.lax.stop_gradient(t_hidden)
+
+        s_vid = jnp.take_along_axis(hidden, batch["mvm_student_slots"][..., None], axis=1)
+        s_vid = _mvm_project(params, s_vid, cfg)
+        t_vid = jnp.take_along_axis(t_hidden, batch["mvm_teacher_slots"][..., None], axis=1)
+
+        sf = s_vid.astype(jnp.float32)
+        tf = t_vid.astype(jnp.float32)
+        sf = sf / jnp.linalg.norm(sf, axis=-1, keepdims=True).clip(1e-6)
+        tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True).clip(1e-6)
+        per_tok = 2.0 - 2.0 * (sf * tf).sum(-1)               # (B, V)
+        w = batch["mvm_weight"].astype(jnp.float32)
+        loss_mvm = (per_tok * w).sum() / jnp.maximum(w.sum(), 1.0)
+        out["loss_mvm"] = loss_mvm
+        out["loss"] = loss_ce + loss_mvm
+    return out
+
+
+# ---------------------------------------------------------------------------
+# inference-side encode (Chat / eval harness)
+# ---------------------------------------------------------------------------
+
+def encode_video_for_inference(
+    params: Dict,
+    frames: jax.Array,            # (T, H, W, C) or (B, T, H, W, C)
+    cfg: STLLMConfig,
+    qformer_text_ids: Optional[jax.Array] = None,
+    qformer_text_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """encode_img + video_input for generation, mirroring the inference twin
+    of the residual module (reference: stllm/conversation/conversation.py:281-293).
+    Returns (B, V, D)."""
+    if frames.ndim == 4:
+        frames = frames[None]
+    img = encode_img(params, frames, cfg, qformer_text_ids, qformer_text_mask)
+    return apply_video_input(params, img, cfg)
