@@ -1,0 +1,181 @@
+"""Training layer tests: frozen/trainable partition, AdamW with wd-mask,
+grad accumulation, and FSDP x TP sharded execution on an 8-device CPU mesh.
+
+Mirrors the guarantees of the reference's trainer stack
+(reference: stllm/train/train_hf.py, stllm/runners/runner_base.py:100-130,
+stllm/train/zero3.json) without any of its machinery: one jitted step.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stllm_tpu.data.packing import pack_training_batch, sample_video_mask
+from stllm_tpu.models.llama import LlamaConfig
+from stllm_tpu.models.qformer import QFormerConfig
+from stllm_tpu.models.stllm import STLLMConfig, init_stllm
+from stllm_tpu.models.vit import ViTConfig
+from stllm_tpu.parallel.mesh import make_mesh
+from stllm_tpu.parallel.sharding import batch_shardings, stllm_param_shardings, tp_dim_for
+from stllm_tpu.train.step import (
+    ABSENT,
+    create_train_state,
+    default_trainable,
+    make_optimizer,
+    make_train_step,
+    merge_params,
+    partition_params,
+    path_str,
+)
+
+TINY = STLLMConfig(
+    vit=ViTConfig(image_size=28, patch_size=14, width=32, depth=2, heads=2,
+                  mlp_hidden=64, dtype=jnp.float32, use_flash=False),
+    qformer=QFormerConfig(hidden=16, num_layers=2, heads=2, intermediate=32,
+                          encoder_width=32, num_query=4, vocab_size=64,
+                          dtype=jnp.float32),
+    llama=LlamaConfig(vocab_size=97, hidden=32, num_layers=2, heads=2,
+                      intermediate=64, max_positions=256, dtype=jnp.float32),
+    video_input="residual",
+    residual_size=2,
+)
+B, T, PAD = 2, 4, 0
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_stllm(jax.random.PRNGKey(0), TINY)
+
+
+def _batch(b=B, seed=0, masked=True):
+    rng = np.random.default_rng(seed)
+    v = TINY.num_video_tokens(T)
+    keep = sample_video_mask(rng, b, v) if masked else None
+    batch = pack_training_batch(
+        [[5, 6, 7]] * b, [[8, 9]] * b,
+        [list(rng.integers(10, 90, 3)) for _ in range(b)],
+        num_video=v, seq_len=32, pad_id=PAD, keep=keep,
+    )
+    batch = {k: jnp.asarray(val) for k, val in batch.items()}
+    batch["frames"] = jnp.asarray(rng.normal(size=(b, T, 28, 28, 3)), jnp.float32)
+    batch["qformer_input_ids"] = jnp.asarray(rng.integers(0, 64, (b, 5)), jnp.int32)
+    batch["qformer_attention_mask"] = jnp.ones((b, 5), jnp.int32)
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# partition / merge
+# ---------------------------------------------------------------------------
+
+def test_partition_merge_roundtrip(params):
+    train, frozen = partition_params(params, default_trainable())
+    merged = merge_params(train, frozen)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        merged, params,
+    )
+
+
+def test_default_freeze_policy(params):
+    train, _ = partition_params(params, default_trainable())
+    leaves = {
+        path_str(p) for p, _ in jax.tree_util.tree_leaves_with_path(train)
+    }
+    assert any(l.startswith("llama_proj") for l in leaves)
+    assert any(l.startswith("residual") for l in leaves)
+    assert not any(l.startswith("llama/") for l in leaves)
+    assert not any(l.startswith("vit/blocks") for l in leaves)
+
+
+def test_trainable_param_fraction(params):
+    train, frozen = partition_params(params, default_trainable())
+    n_train = sum(x.size for x in jax.tree_util.tree_leaves(train))
+    n_total = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    assert 0 < n_train < 0.2 * n_total  # frozen backbone dominates
+
+
+# ---------------------------------------------------------------------------
+# train step
+# ---------------------------------------------------------------------------
+
+def test_train_step_updates_only_trainable(params):
+    opt = make_optimizer(1e-2)
+    state = create_train_state(params, opt)
+    step = jax.jit(make_train_step(TINY, opt))
+    batch = _batch()
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    # frozen subtree must be byte-identical
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        state2.frozen, state.frozen,
+    )
+    # trainable llama_proj must actually move
+    before = np.asarray(state.params["llama_proj"]["w"])
+    after = np.asarray(state2.params["llama_proj"]["w"])
+    assert np.abs(after - before).max() > 0
+
+
+def test_loss_decreases_over_steps(params):
+    opt = make_optimizer(5e-3, max_grad_norm=None)
+    state = create_train_state(params, opt)
+    step = jax.jit(make_train_step(TINY, opt))
+    batch = _batch(masked=False)  # fixed batch -> loss must go down
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+
+
+def test_grad_accumulation_matches_duplicated_batch(params):
+    opt = make_optimizer(1e-2)
+    state = create_train_state(params, opt)
+    one = _batch(b=2, masked=False)
+    dup = jax.tree_util.tree_map(lambda x: jnp.concatenate([x, x], 0), one)
+    s1, m1 = jax.jit(make_train_step(TINY, opt))(state, one)
+    s2, m2 = jax.jit(make_train_step(TINY, opt, accum_steps=2))(state, dup)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["llama_proj"]["w"], np.float32),
+        np.asarray(s2.params["llama_proj"]["w"], np.float32),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+# ---------------------------------------------------------------------------
+# sharding
+# ---------------------------------------------------------------------------
+
+def test_tp_rules_hit_expected_paths():
+    assert tp_dim_for("llama/layers/0/q/w") == 1
+    assert tp_dim_for("llama/layers/31/down/w") == 0
+    assert tp_dim_for("vit/blocks/3/qkv/w") == 1
+    assert tp_dim_for("qformer/layers/1/attention/q/w") == 1
+    assert tp_dim_for("qformer/layers/0/intermediate_query/w") == 1
+    assert tp_dim_for("qformer/layers/0/output_query/dense/w") == 0
+    assert tp_dim_for("llama/layers/0/input_norm") is None
+
+
+def test_sharded_train_step_runs(params):
+    mesh = make_mesh(data=4, model=2)
+    opt = make_optimizer(1e-2)
+    state = create_train_state(params, opt)
+    p_sh = stllm_param_shardings(mesh, params, min_size=64)
+    t_sh, f_sh = partition_params(p_sh, default_trainable())
+    state = state._replace(
+        params=jax.device_put(state.params, t_sh),
+        frozen=jax.device_put(state.frozen, f_sh),
+    )
+    batch = _batch(b=4)
+    batch = jax.device_put(batch, batch_shardings(mesh, batch))
+    step = jax.jit(make_train_step(TINY, opt))
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # at least one frozen leaf should be genuinely sharded over the mesh
+    some = [s for _, s in jax.tree_util.tree_leaves_with_path(f_sh)
+            if getattr(s, "spec", None) and any(s.spec)]
+    assert some, "no parameter got a non-trivial sharding"
