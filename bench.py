@@ -1,0 +1,66 @@
+"""Headline benchmark: frames/sec/chip for the ViT+Q-Former encode path
+(full-size EVA-ViT-g + InstructBLIP Q-Former + llama_proj, bf16, 64-frame
+MVBench-style video on ONE chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference encodes all 64 frames of a video in one
+`encode_img` call (reference: stllm/models/st_llm.py:321-377) with eager
+fp16 PyTorch on A100. A100 fp16 dense peak is 312 TFLOP/s; EVA-ViT-g
+(1.0B params, 257 tokens) costs ~2*1.0e9*257 = 0.52 TFLOP/frame, so at a
+typical 35-40% eager-mode MFU the reference encode runs ~200 frames/s/chip.
+That estimate (200.0) is the vs_baseline denominator until a measured
+A100 number replaces it.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stllm_tpu.models.stllm import STLLMConfig, encode_img, init_stllm
+
+REFERENCE_A100_FPS = 200.0
+FRAMES = 64
+
+
+def main():
+    cfg = STLLMConfig()  # full size: EVA-ViT-g + InstructBLIP Q-Former + Vicuna dims
+    params = init_stllm(jax.random.PRNGKey(0), cfg, init_llama_params=False)
+    params.pop("llama")
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.normal(size=(1, FRAMES, cfg.vit.image_size, cfg.vit.image_size, 3)),
+        jnp.bfloat16,
+    )
+    q_ids = jnp.asarray(rng.integers(0, cfg.qformer.vocab_size, (1, 16)), jnp.int32)
+    q_mask = jnp.ones((1, 16), jnp.int32)
+
+    @jax.jit
+    def encode(params, frames):
+        return encode_img(params, frames, cfg, q_ids, q_mask)
+
+    encode(params, frames).block_until_ready()  # compile + warmup
+    encode(params, frames).block_until_ready()
+
+    iters = 8
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = encode(params, frames)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    fps = FRAMES * iters / dt
+    print(json.dumps({
+        "metric": "frames/sec/chip ViT+Q-Former encode (64-frame video, bf16)",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_A100_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
