@@ -142,6 +142,53 @@ def convert_eva_vit(state: Mapping[str, Any], cfg, dtype=None) -> Dict:
     return params
 
 
+def convert_btadapter(state: Mapping[str, Any], cfg, depth: int = 3, dtype=None) -> Dict:
+    """BTAdapter checkpoint naming (reference: stllm/models/eva_btadapter.py
+    — BTAdapter_cls / BTAdapter_position / BTAdapter_T.{i} / BTAdapter_S.{i},
+    trunk keys as in eva_vit) -> stllm_tpu.models.btadapter params."""
+    trunk_state = {k: v for k, v in state.items() if not k.startswith("BTAdapter")}
+    params = convert_eva_vit(trunk_state, cfg, dtype=dtype)
+
+    tk = KeyTracker({k: v for k, v in state.items() if k.startswith("BTAdapter")},
+                    "btadapter")
+    temp, spatial = [], []
+    for i in range(depth):
+        t_pre, s_pre = f"BTAdapter_T.{i}", f"BTAdapter_S.{i}"
+        temp.append(
+            {
+                "norm1": _norm(tk, f"{t_pre}.norm1"),
+                "qkv": {"w": tk.take(f"{t_pre}.attn.qkv.weight").T},
+                "q_bias": tk.take(f"{t_pre}.attn.q_bias"),
+                "v_bias": tk.take(f"{t_pre}.attn.v_bias"),
+                "proj": _linear(tk, f"{t_pre}.attn.proj"),
+                "temporal_fc": _linear(tk, f"{t_pre}.temporal_fc"),
+            }
+        )
+        spatial.append(
+            {
+                "norm1": _norm(tk, f"{s_pre}.norm1"),
+                "qkv": {"w": tk.take(f"{s_pre}.attn.qkv.weight").T},
+                "q_bias": tk.take(f"{s_pre}.attn.q_bias"),
+                "v_bias": tk.take(f"{s_pre}.attn.v_bias"),
+                "proj": _linear(tk, f"{s_pre}.attn.proj"),
+                "norm2": _norm(tk, f"{s_pre}.norm2"),
+                "fc1": _linear(tk, f"{s_pre}.mlp.fc1"),
+                "fc2": _linear(tk, f"{s_pre}.mlp.fc2"),
+            }
+        )
+    branch = {
+        "cls": tk.take("BTAdapter_cls"),
+        "time_embed": tk.take("BTAdapter_position.weight"),
+        "temp": temp,
+        "spatial": spatial,
+    }
+    tk.finish()
+    if dtype is None:
+        dtype = cfg.dtype
+    params["btadapter"] = _to_dtype(branch, dtype)
+    return params
+
+
 # ---------------------------------------------------------------------------
 # HF LLaMA / Vicuna
 # ---------------------------------------------------------------------------

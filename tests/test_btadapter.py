@@ -1,0 +1,157 @@
+"""BTAdapter branch tests.
+
+Invariants (vs reference stllm/models/eva_btadapter.py):
+  - output shape matches the plain ViT (per-frame tokens, B*T rows);
+  - the branch mixes information ACROSS frames (the plain ViT cannot);
+  - spatial branch blocks are initialized as copies of the last trunk blocks;
+  - gradients flow to btadapter params under the default freezing policy
+    while the trunk stays frozen (reference: st_llm.py:257-261);
+  - fusion encode_img works with vit_model="eva_btadapter_g".
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stllm_tpu.models.btadapter import btadapter_forward, init_btadapter
+from stllm_tpu.models.llama import LlamaConfig
+from stllm_tpu.models.qformer import QFormerConfig
+from stllm_tpu.models.stllm import STLLMConfig, encode_img, init_stllm
+from stllm_tpu.models.vit import ViTConfig, init_vit, vit_forward
+from stllm_tpu.train.step import default_trainable, partition_params, path_str
+
+CFG = ViTConfig(image_size=28, patch_size=14, width=32, depth=4, heads=2,
+                mlp_hidden=64, dtype=jnp.float32, use_flash=False)
+B, T = 2, 4
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_btadapter(jax.random.PRNGKey(0), CFG, depth=2)
+
+
+def _frames(seed=0, b=B, t=T):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(b * t, 28, 28, 3)), jnp.float32)
+
+
+def test_output_shape(params):
+    out = btadapter_forward(params, _frames(), CFG, num_frames=T)
+    assert out.shape == (B * T, CFG.seq_len, CFG.width)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_spatial_blocks_copy_trunk(params):
+    for i, sp in enumerate(params["btadapter"]["spatial"]):
+        trunk = params["blocks"][CFG.depth - 2 + i]
+        np.testing.assert_array_equal(
+            np.asarray(sp["qkv"]["w"]), np.asarray(trunk["qkv"]["w"])
+        )
+
+
+def test_branch_mixes_frames(params):
+    """Perturbing frame 0 must change other frames' outputs (via the branch);
+    the plain ViT treats frames independently."""
+    f = _frames()
+    f2 = f.at[0].add(1.0)  # frame 0 of batch row 0
+    out, out2 = (btadapter_forward(params, x, CFG, num_frames=T) for x in (f, f2))
+    # rows 1..T-1 belong to the same video -> must differ through the branch
+    assert np.abs(np.asarray(out2[1] - out[1])).max() > 1e-6
+    # rows of the OTHER video (batch row 1) must be untouched
+    np.testing.assert_allclose(np.asarray(out[T:]), np.asarray(out2[T:]), atol=1e-6)
+
+    vit_params = {k: v for k, v in params.items() if k != "btadapter"}
+    v1, v2 = (vit_forward(vit_params, x, CFG) for x in (f, f2))
+    np.testing.assert_allclose(np.asarray(v1[1]), np.asarray(v2[1]), atol=1e-6)
+
+
+def test_freeze_policy_trains_branch_only():
+    tiny = STLLMConfig(
+        vit=CFG, vit_model="eva_btadapter_g", btadapter_depth=2,
+        qformer=QFormerConfig(hidden=16, num_layers=2, heads=2, intermediate=32,
+                              encoder_width=32, num_query=4, vocab_size=64,
+                              dtype=jnp.float32),
+        llama=LlamaConfig(vocab_size=97, hidden=32, num_layers=2, heads=2,
+                          intermediate=64, max_positions=256, dtype=jnp.float32),
+        video_input="mean",
+    )
+    p = init_stllm(jax.random.PRNGKey(1), tiny)
+    train, _ = partition_params(p, default_trainable())
+    paths = {path_str(pp) for pp, _ in jax.tree_util.tree_leaves_with_path(train)}
+    assert any(x.startswith("vit/btadapter") for x in paths)
+    assert not any(x.startswith("vit/blocks") for x in paths)
+    assert not any(x.startswith("vit/pos_embed") for x in paths)
+
+    ids = jnp.zeros((1, 3), jnp.int32)
+    mask = jnp.ones((1, 3), jnp.int32)
+    out = encode_img(p, _frames(b=1).reshape(1, T, 28, 28, 3), tiny, ids, mask)
+    assert out.shape == (1, T, tiny.num_query, tiny.llama.hidden)
+
+
+def test_single_frame_t1(params):
+    """T=1 degenerates gracefully (temporal attention over one frame)."""
+    out = btadapter_forward(params, _frames(t=1), CFG, num_frames=1)
+    assert out.shape == (B, CFG.seq_len, CFG.width)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_roundtrip():
+    """Torch-style key dict -> converter -> params matching a manual build."""
+    from stllm_tpu.convert.torch_to_jax import convert_btadapter
+
+    rng = np.random.default_rng(0)
+    d, depth = CFG.width, 2
+    state = {}
+    # trunk
+    state["patch_embed.proj.weight"] = rng.normal(size=(d, 3, 14, 14)).astype(np.float32)
+    state["patch_embed.proj.bias"] = rng.normal(size=(d,)).astype(np.float32)
+    state["cls_token"] = rng.normal(size=(1, 1, d)).astype(np.float32)
+    state["pos_embed"] = rng.normal(size=(1, CFG.seq_len, d)).astype(np.float32)
+    for i in range(CFG.depth):
+        pre = f"blocks.{i}"
+        state[f"{pre}.norm1.weight"] = np.ones(d, np.float32)
+        state[f"{pre}.norm1.bias"] = np.zeros(d, np.float32)
+        state[f"{pre}.attn.qkv.weight"] = rng.normal(size=(3 * d, d)).astype(np.float32)
+        state[f"{pre}.attn.q_bias"] = np.zeros(d, np.float32)
+        state[f"{pre}.attn.v_bias"] = np.zeros(d, np.float32)
+        state[f"{pre}.attn.proj.weight"] = rng.normal(size=(d, d)).astype(np.float32)
+        state[f"{pre}.attn.proj.bias"] = np.zeros(d, np.float32)
+        state[f"{pre}.norm2.weight"] = np.ones(d, np.float32)
+        state[f"{pre}.norm2.bias"] = np.zeros(d, np.float32)
+        state[f"{pre}.mlp.fc1.weight"] = rng.normal(size=(CFG.mlp_hidden, d)).astype(np.float32)
+        state[f"{pre}.mlp.fc1.bias"] = np.zeros(CFG.mlp_hidden, np.float32)
+        state[f"{pre}.mlp.fc2.weight"] = rng.normal(size=(d, CFG.mlp_hidden)).astype(np.float32)
+        state[f"{pre}.mlp.fc2.bias"] = np.zeros(d, np.float32)
+    # branch
+    state["BTAdapter_cls"] = np.zeros((1, 1, d), np.float32)
+    state["BTAdapter_position.weight"] = rng.normal(size=(64, d)).astype(np.float32)
+    for i in range(depth):
+        for pre, spatial in ((f"BTAdapter_T.{i}", False), (f"BTAdapter_S.{i}", True)):
+            state[f"{pre}.norm1.weight"] = np.ones(d, np.float32)
+            state[f"{pre}.norm1.bias"] = np.zeros(d, np.float32)
+            state[f"{pre}.attn.qkv.weight"] = rng.normal(size=(3 * d, d)).astype(np.float32)
+            state[f"{pre}.attn.q_bias"] = np.zeros(d, np.float32)
+            state[f"{pre}.attn.v_bias"] = np.zeros(d, np.float32)
+            state[f"{pre}.attn.proj.weight"] = rng.normal(size=(d, d)).astype(np.float32)
+            state[f"{pre}.attn.proj.bias"] = np.zeros(d, np.float32)
+            if spatial:
+                state[f"{pre}.norm2.weight"] = np.ones(d, np.float32)
+                state[f"{pre}.norm2.bias"] = np.zeros(d, np.float32)
+                state[f"{pre}.mlp.fc1.weight"] = rng.normal(size=(CFG.mlp_hidden, d)).astype(np.float32)
+                state[f"{pre}.mlp.fc1.bias"] = np.zeros(CFG.mlp_hidden, np.float32)
+                state[f"{pre}.mlp.fc2.weight"] = rng.normal(size=(d, CFG.mlp_hidden)).astype(np.float32)
+                state[f"{pre}.mlp.fc2.bias"] = np.zeros(d, np.float32)
+            else:
+                state[f"{pre}.temporal_fc.weight"] = np.zeros((d, d), np.float32)
+                state[f"{pre}.temporal_fc.bias"] = np.zeros(d, np.float32)
+
+    params = convert_btadapter(state, CFG, depth=depth, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(params["btadapter"]["temp"][0]["qkv"]["w"]),
+        state["BTAdapter_T.0.attn.qkv.weight"].T,
+    )
+    out = btadapter_forward(params, _frames(), CFG, num_frames=T)
+    assert out.shape == (B * T, CFG.seq_len, CFG.width)
+    assert np.isfinite(np.asarray(out)).all()
