@@ -1,0 +1,137 @@
+"""Native decoder + reader-function tests on synthesized videos.
+
+Each synthetic frame encodes its index as a solid gray level, so random-access
+gather correctness is checked per-pixel (frame-accuracy is what decord gave
+the reference — utils.py:345-373 — and what moves MVBench numbers)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from stllm_tpu.data.video_reader import (
+    Cv2VideoReader,
+    NativeVideoReader,
+    VIDEO_READER_FUNCS,
+    native_available,
+    open_video,
+    read_frames_gif,
+    read_frames_rawframes,
+    read_frames_video,
+)
+
+N_FRAMES, H, W, FPS = 48, 64, 80, 12
+
+
+def _level(i: int) -> int:
+    return 16 + 4 * i  # distinguishable after lossy encode
+
+
+@pytest.fixture(scope="module")
+def mp4(tmp_path_factory):
+    import cv2
+
+    path = str(tmp_path_factory.mktemp("vid") / "synthetic.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), FPS, (W, H))
+    assert vw.isOpened(), "cv2 VideoWriter failed (mp4v codec missing)"
+    for i in range(N_FRAMES):
+        vw.write(np.full((H, W, 3), _level(i), np.uint8))
+    vw.release()
+    return path
+
+
+@pytest.fixture(scope="module")
+def gif(tmp_path_factory):
+    import imageio
+
+    path = str(tmp_path_factory.mktemp("gif") / "synthetic.gif")
+    imageio.mimsave(path, [np.full((H, W, 3), _level(i), np.uint8)
+                           for i in range(16)], duration=0.1)
+    return path
+
+
+@pytest.mark.skipif(not native_available(), reason="libvideodec.so not built")
+def test_native_metadata(mp4):
+    vr = NativeVideoReader(mp4)
+    assert len(vr) == N_FRAMES
+    assert abs(vr.get_avg_fps() - FPS) < 0.5
+    assert (vr.height, vr.width) == (H, W)
+    vr.close()
+
+
+@pytest.mark.skipif(not native_available(), reason="libvideodec.so not built")
+def test_native_random_access_frame_accurate(mp4):
+    vr = NativeVideoReader(mp4)
+    idx = [40, 3, 3, 17, 0, 47]  # unordered + duplicate + extremes
+    out = vr.get_batch(idx)
+    assert out.shape == (6, H, W, 3)
+    for slot, i in enumerate(idx):
+        got = int(out[slot].mean())
+        assert abs(got - _level(i)) <= 6, f"frame {i}: {got} vs {_level(i)}"
+    vr.close()
+
+
+@pytest.mark.skipif(not native_available(), reason="libvideodec.so not built")
+def test_native_matches_cv2(mp4):
+    idx = [5, 20, 35]
+    a = NativeVideoReader(mp4).get_batch(idx)
+    b = Cv2VideoReader(mp4).get_batch(idx)
+    assert np.abs(a.astype(int) - b.astype(int)).mean() < 2.0
+
+
+def test_cv2_reader(mp4):
+    vr = Cv2VideoReader(mp4)
+    assert len(vr) == N_FRAMES
+    out = vr.get_batch([0, 10, 10, 30])
+    for slot, i in zip(range(4), [0, 10, 10, 30]):
+        assert abs(int(out[slot].mean()) - _level(i)) <= 6
+    vr.close()
+
+
+def test_read_frames_video(mp4):
+    frames, idx, duration = read_frames_video(mp4, 8, sample="middle")
+    assert frames.shape == (8, H, W, 3)
+    assert len(idx) == 8
+    assert abs(duration - N_FRAMES / FPS) < 0.5
+    for f, i in zip(frames, idx):
+        assert abs(int(f.mean()) - _level(i)) <= 6
+
+
+def test_read_frames_video_clip(mp4):
+    # clip window [1s, 3s] -> only frames 12..36
+    frames, idx, duration = read_frames_video(mp4, 4, sample="middle",
+                                              clip=(1.0, 3.0))
+    assert duration == 2.0
+    assert min(idx) >= 12 - 1 and max(idx) <= 36 + 1
+
+
+def test_read_frames_gif(gif):
+    frames, idx, fps = read_frames_gif(gif, 4, sample="middle")
+    assert frames.shape[0] == 4 and frames.shape[-1] == 3
+    assert fps == 25.0
+
+
+def test_read_frames_rawframes(tmp_path):
+    import cv2
+
+    d = tmp_path / "raw"
+    d.mkdir()
+    for i in range(1, 11):  # offset-1 naming {:0>6}.jpg (utils.py:383-385)
+        cv2.imwrite(str(d / f"{i:0>6}.jpg"), np.full((H, W, 3), 10 * i, np.uint8))
+    frames, idx, dur = read_frames_rawframes(str(d), 4, sample="middle",
+                                             max_num_frames=10)
+    assert frames.shape == (4, H, W, 3)
+    assert dur == 2.0  # 10 frames / fps 5
+
+
+def test_reader_table():
+    assert set(VIDEO_READER_FUNCS) >= {"decord", "av", "gif", "rawframe"}
+
+
+def test_reference_example_video():
+    path = "/root/reference/example/monkey.mp4"
+    if not os.path.exists(path):
+        pytest.skip("reference example not present")
+    frames, idx, duration = read_frames_video(path, 8, sample="middle")
+    assert frames.shape[0] == 8 and frames.shape[-1] == 3
+    assert duration > 0
