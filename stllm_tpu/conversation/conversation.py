@@ -1,0 +1,328 @@
+"""Conversation templates + Chat API (upload_video / ask / answer).
+
+TPU-native re-design of the reference conversation layer
+(reference: stllm/conversation/conversation.py:30-340). The reference wraps a
+torch module and HF ``generate``; here the model is a (params, STLLMConfig)
+pair and decoding is the jitted prefill/decode loop in
+stllm_tpu.models.generation. Prompt formats, separator rules, stop sequences
+('###' as [835] or [2277, 29937]) and output post-processing are preserved so
+benchmark strings match.
+
+Tokenizers are duck-typed: anything with ``encode(text, add_special_tokens=)``
+and ``decode(ids)`` (HF LlamaTokenizer satisfies this) — nothing here imports
+transformers, so offline tests run with toy tokenizers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class SeparatorStyle(enum.Enum):
+    SINGLE = enum.auto()
+    TWO = enum.auto()
+
+
+@dataclasses.dataclass
+class Conversation:
+    """Prompt builder: system + '###'-separated role turns
+    (reference: conversation.py:30-102)."""
+
+    system: str
+    roles: Tuple[str, str]
+    messages: List[List[Optional[str]]]
+    offset: int
+    instruction: bool
+    sep_style: SeparatorStyle = SeparatorStyle.SINGLE
+    sep: str = "###"
+    sep2: Optional[str] = None
+    skip_next: bool = False
+    conv_id: Any = None
+
+    def get_prompt(self) -> str:
+        if self.sep_style == SeparatorStyle.SINGLE:
+            ret = self.system + self.sep
+            for role, message in self.messages:
+                if message:
+                    ret += role + message + self.sep
+                else:
+                    ret += role
+            return ret
+        if self.sep_style == SeparatorStyle.TWO:
+            seps = [self.sep, self.sep2]
+            ret = self.system + seps[0]
+            for i, (role, message) in enumerate(self.messages):
+                if message:
+                    ret += role + message + seps[i % 2]
+                else:
+                    ret += role
+            return ret
+        raise ValueError(f"Invalid style: {self.sep_style}")
+
+    def append_message(self, role: str, message: Optional[str]) -> None:
+        self.messages.append([role, message])
+
+    def copy(self) -> "Conversation":
+        return Conversation(
+            system=self.system,
+            roles=self.roles,
+            messages=[[x, y] for x, y in self.messages],
+            offset=self.offset,
+            instruction=self.instruction,
+            sep_style=self.sep_style,
+            sep=self.sep,
+            sep2=self.sep2,
+            conv_id=self.conv_id,
+        )
+
+    def dict(self):
+        return {
+            "system": self.system,
+            "roles": self.roles,
+            "messages": self.messages,
+            "offset": self.offset,
+            "sep": self.sep,
+            "sep2": self.sep2,
+            "conv_id": self.conv_id,
+        }
+
+
+# Preset templates (reference: conversation.py:127-179)
+
+CONV_VISION_Vicuna0 = Conversation(
+    system="Give the following image: <Img>ImageContent</Img>. "
+           "You will be able to see the image once I provide it to you. "
+           "Please answer my questions.",
+    roles=("Human: ", "Assistant: "),
+    messages=[],
+    offset=2,
+    instruction=True,
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+)
+
+CONV_VIDEO_Vicuna0 = Conversation(
+    system="Give the following video: <Video>VideoContent</Video>. "
+           "You will be able to see the video once I provide it to you. "
+           "Please answer my questions.",
+    roles=("Human: ", "Assistant: "),
+    messages=[],
+    offset=2,
+    instruction=True,
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+)
+
+CONV_instructblip_Vicuna0 = Conversation(
+    system="Carefully watch the video and pay attention to the cause and "
+           "sequence of events, the detail and movement of objects, and the "
+           "action and pose of persons. Based on your observations, give your "
+           "answer that best addresses the question.\n",
+    roles=("Human: ", "Assistant: "),
+    messages=[],
+    instruction=False,
+    offset=2,
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+)
+
+CONV_VISION_LLama2 = Conversation(
+    system="Give the following image: <Img>ImageContent</Img>. "
+           "You will be able to see the image once I provide it to you. "
+           "Please answer my questions.",
+    roles=("<s>[INST] ", " [/INST] "),
+    messages=[],
+    offset=2,
+    instruction=True,
+    sep_style=SeparatorStyle.SINGLE,
+    sep="",
+)
+
+CONV_VIDEO_LLama2 = Conversation(
+    system="Give the following video: <Img>VideoContent</Img>. "
+           "You will be able to see the video once I provide it to you. "
+           "Please answer my questions.",
+    roles=("<s>[INST] ", " [/INST] "),
+    messages=[],
+    offset=2,
+    instruction=True,
+    sep_style=SeparatorStyle.SINGLE,
+    sep="",
+)
+
+
+def _encode(tokenizer, text: str, add_special_tokens: bool) -> List[int]:
+    ids = tokenizer.encode(text, add_special_tokens=add_special_tokens)
+    return list(ids)
+
+
+class Chat:
+    """Functional-model chat driver (reference Chat, conversation.py:181-340).
+
+    Parameters
+    ----------
+    params / cfg : the STLLM param tree and STLLMConfig.
+    llama_tokenizer : encode/decode duck-typed tokenizer for the LLM.
+    qformer_tokenizer : optional tokenizer for Q-Former text input
+        (qformer_text_input mode); must also expose
+        ``encode(text, add_special_tokens=)``.
+    """
+
+    def __init__(self, params, cfg, llama_tokenizer, qformer_tokenizer=None,
+                 image_size: int = 224, max_qformer_len: int = 32):
+        from stllm_tpu.data.processors import ChatVideoEvalProcessor
+
+        self.params = params
+        self.cfg = cfg
+        self.llama_tokenizer = llama_tokenizer
+        self.qformer_tokenizer = qformer_tokenizer
+        self.transform = ChatVideoEvalProcessor(image_size=image_size)
+        self.max_qformer_len = max_qformer_len
+
+    # -- prompt management -------------------------------------------------
+
+    def ask(self, text: str, conv: Conversation) -> None:
+        """Merge consecutive Human turns after a media upload
+        (reference: conversation.py:205-211)."""
+        if (
+            len(conv.messages) > 0
+            and conv.messages[-1][0] == conv.roles[0]
+            and conv.messages[-1][1] is not None
+            and (
+                conv.messages[-1][1][-6:] == "</Img>"
+                or conv.messages[-1][1][-8:] == "</Video>"
+                or conv.messages[-1][1][-8:] == "</Frame>"
+            )
+        ):
+            conv.messages[-1][1] = " ".join([conv.messages[-1][1], text])
+        else:
+            conv.append_message(conv.roles[0], text)
+
+    # -- media upload ------------------------------------------------------
+
+    def _qformer_text(self, text: Optional[str], num_rows: int):
+        if not (self.cfg.qformer_text_input and text and self.qformer_tokenizer):
+            return None, None
+        ids = _encode(self.qformer_tokenizer, text, True)[: self.max_qformer_len]
+        arr = jnp.asarray([ids], jnp.int32)
+        mask = jnp.ones_like(arr)
+        return arr, mask
+
+    def upload_video(self, video, conv: Conversation, img_list: List,
+                     num_frame: int = 64, text: Optional[str] = None) -> str:
+        """Decode + transform + encode a video; appends the (1, V, D) video
+        embedding (reference: conversation.py:274-299 — including the
+        inference-side residual/global-local module, which lives in
+        stllm.apply_video_input here)."""
+        from stllm_tpu.data.samplers import get_seq_frames
+        from stllm_tpu.data.video_reader import open_video
+        from stllm_tpu.models.stllm import encode_video_for_inference
+
+        if isinstance(video, str):
+            vr = open_video(video)
+            idx = get_seq_frames(len(vr), num_frame)
+            raw = vr.get_batch(idx)
+            vr.close()
+        else:
+            raw = np.asarray(video)
+        frames = self.transform(raw)                       # (T, H, W, C) float32
+        q_ids, q_mask = self._qformer_text(text, frames.shape[0])
+        emb = encode_video_for_inference(
+            self.params, jnp.asarray(frames), self.cfg, q_ids, q_mask
+        )                                                   # (1, V, D)
+        img_list.append(emb)
+        conv.append_message(conv.roles[0], "<Video><ImageHere></Video>")
+        return "Received."
+
+    def upload_img(self, image, conv: Conversation, img_list: List) -> str:
+        """Single image (reference: conversation.py:255-272)."""
+        from stllm_tpu.models.stllm import encode_video_for_inference
+
+        raw = np.asarray(image.convert("RGB")) if hasattr(image, "convert") else np.asarray(image)
+        frame = self.transform(raw[None] if raw.ndim == 3 else raw)
+        emb = encode_video_for_inference(self.params, jnp.asarray(frame), self.cfg)
+        img_list.append(emb)
+        conv.append_message(conv.roles[0], "<Img><ImageHere></Img>")
+        return "Received."
+
+    # -- embedding assembly ------------------------------------------------
+
+    def _embed_ids(self, ids: Sequence[int]) -> jax.Array:
+        table = self.params["llama"]["embed_tokens"]
+        return table[jnp.asarray(ids, jnp.int32)][None].astype(self.cfg.llama.dtype)
+
+    def get_context_emb(self, conv: Conversation, img_list: List) -> jax.Array:
+        """Interleave text-segment embeddings with video embeddings at each
+        <ImageHere> (reference: conversation.py:301-320)."""
+        prompt = conv.get_prompt()
+        segs = prompt.split("<ImageHere>")
+        assert len(segs) == len(img_list) + 1, \
+            "Unmatched numbers of image placeholders and images."
+        seg_embs = [
+            self._embed_ids(_encode(self.llama_tokenizer, seg, i == 0))
+            for i, seg in enumerate(segs)
+        ]
+        mixed = [emb for pair in zip(seg_embs[:-1], img_list) for emb in pair]
+        mixed.append(seg_embs[-1])
+        mixed = [m.astype(self.cfg.llama.dtype) for m in mixed]
+        return jnp.concatenate(mixed, axis=1)
+
+    def get_context_emb_sim(self, conv: Conversation, img_list: List,
+                            system: bool = True) -> jax.Array:
+        """Simple mode: [video tokens] + [system###Human: q ###Assistant: ]
+        (reference: conversation.py:322-340)."""
+        question = conv.messages[0][1]
+        question = question.split("</Video> ")[1]
+        sys_txt = conv.system if system else ""
+        text = sys_txt + "###Human: " + question + " ###Assistant: "
+        seg = self._embed_ids(_encode(self.llama_tokenizer, text, True))
+        return jnp.concatenate([img_list[0].astype(seg.dtype), seg], axis=1)
+
+    # -- generation --------------------------------------------------------
+
+    def answer(self, conv: Conversation, img_list: List,
+               max_new_tokens: int = 300, num_beams: int = 1,
+               min_length: int = 1, top_p: float = 0.9, system: bool = True,
+               repetition_penalty: float = 1.0, length_penalty: float = 1.0,
+               temperature: float = 1.0, max_length: int = 2000,
+               do_sample: bool = True, seed: int = 0) -> Tuple[str, np.ndarray]:
+        from stllm_tpu.models.generation import GenerationConfig, generate
+
+        conv.append_message(conv.roles[1], None)
+        if conv.instruction:
+            embs = self.get_context_emb(conv, img_list)
+        else:
+            embs = self.get_context_emb_sim(conv, img_list, system=system)
+            repetition_penalty = 1.5  # reference: conversation.py:226
+
+        current_max_len = embs.shape[1] + max_new_tokens
+        begin_idx = max(0, current_max_len - max_length)
+        embs = embs[:, begin_idx:]
+
+        gen = GenerationConfig(
+            max_new_tokens=max_new_tokens, min_length=min_length,
+            do_sample=do_sample, num_beams=num_beams, top_p=top_p,
+            temperature=temperature, repetition_penalty=repetition_penalty,
+            length_penalty=length_penalty,
+        )
+        out = generate(self.params["llama"], embs, llama_cfg=self.cfg.llama,
+                       gen=gen, seed=seed)
+        tokens = out[0] if isinstance(out[0], list) else out
+        tokens = list(tokens)
+        # strip leading <unk>/<s> (reference: conversation.py:245-249)
+        if tokens and tokens[0] == 0:
+            tokens = tokens[1:]
+        if tokens and tokens[0] == 1:
+            tokens = tokens[1:]
+        text = self.llama_tokenizer.decode(tokens)
+        text = text.split("###")[0]
+        text = text.split("Assistant:")[-1].strip()
+        conv.messages[-1][1] = text
+        return text, np.asarray(tokens)
