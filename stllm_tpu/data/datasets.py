@@ -1,0 +1,233 @@
+"""Instruction-tuning datasets (VideoChat2-IT format).
+
+Re-design of the reference IT datasets
+(reference: stllm/datasets/datasets/image_video_itdatasets.py:168-319).
+Behavior preserved:
+  - prompt format: ``system + ###Human: <Video><ImageHere></Video> {q}
+    ###Assistant: `` with the ' '-terminated end_signal, simple-mode inline
+    instruction concatenation (process_qa, :223-250);
+  - random QA-list shuffle per sample (:229-231);
+  - per-annotation clip [start, end] windows and the optional "The video
+    contains N frames sampled at T seconds." second message (:297-310 — the
+    reference computes the seconds list in a commented line; we implement the
+    intended behavior);
+  - corrupt-media resilience: decode failures retry ``num_tries`` times with
+    a random replacement index (:77-105), and any __getitem__ exception falls
+    back to a random other sample (:263-266, :316-319).
+
+Samples are plain dicts with NumPy frames (THWC); the device bridge is
+stllm_tpu.data.collate.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from stllm_tpu.data.video_reader import VIDEO_READER_FUNCS
+
+logger = logging.getLogger(__name__)
+
+
+class ITImgTrainDataset:
+    """Image instruction dataset (reference: ITImgTrainDataset, :168-266)."""
+
+    media_type = "image"
+
+    def __init__(
+        self,
+        ann_file: Sequence[str],
+        transform=None,
+        simple: bool = False,
+        system: str = "",
+        role: Tuple[str, str] = ("Human", "Assistant"),
+        start_token: str = "<Image>",
+        end_token: str = "</Image>",
+        random_shuffle: bool = True,
+        seed: Optional[int] = None,
+    ):
+        if len(ann_file) == 3 and ann_file[2] == "video":
+            self.media_type = "video"
+        self.label_file, self.data_root = ann_file[:2]
+        with open(self.label_file) as f:
+            self.anno = json.load(f)
+        self.num_examples = len(self.anno)
+        self.transform = transform
+
+        if system:
+            assert system[-1] == " ", (
+                "' ' should be add in the end of system, thus '###' will be "
+                "tokenized into one token."
+            )
+        self.begin_signal = "###"
+        self.end_signal = " "
+        self.start_token = start_token
+        self.end_token = end_token
+        self.system = system
+        self.role = role
+        self.random_shuffle = random_shuffle
+        self.simple = simple
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return self.num_examples
+
+    def get_anno(self, index: int) -> Dict:
+        filename = self.anno[index][self.media_type]
+        qa = self.anno[index]["QA"]
+        anno = {"image": os.path.join(self.data_root, filename), "qa": qa}
+        if "start" in self.anno[index] and "end" in self.anno[index]:
+            anno["start"] = self.anno[index]["start"]
+            anno["end"] = self.anno[index]["end"]
+        return anno
+
+    def process_qa(self, qa: List[Dict], msg: str = "") -> Tuple[str, str]:
+        """Build the instruction string (reference: :223-250)."""
+        cur_instruction = ""
+        if self.random_shuffle and len(qa) > 1:
+            qa = list(qa)
+            self.rng.shuffle(qa)
+        if "i" in qa[0] and qa[0]["i"] != "":
+            cur_instruction = qa[0]["i"] + self.end_signal
+
+        conversation = self.system
+        if not self.simple:
+            if cur_instruction:
+                conversation += cur_instruction
+            conversation += (
+                self.begin_signal + self.role[0] + ": "
+                + self.start_token + "<ImageHere>" + self.end_token
+                + msg.rstrip() + " " + qa[0]["q"] + self.end_signal
+                + self.begin_signal + self.role[1] + ": "
+            )
+        else:
+            conversation += "<ImageHere>"
+            conversation += (
+                self.begin_signal + self.role[0] + ": "
+                + cur_instruction + msg.rstrip() + qa[0]["q"] + self.end_signal
+                + self.begin_signal + self.role[1] + ": "
+            )
+        return conversation, qa[0]["a"]
+
+    def load_image(self, path: str) -> np.ndarray:
+        import cv2
+
+        img = cv2.imread(path)
+        if img is None:
+            raise IOError(f"failed to read image {path}")
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        return self.transform(img) if self.transform else img
+
+    def __getitem__(self, index: int) -> Dict:
+        try:
+            ann = self.get_anno(index)
+            image = self.load_image(ann["image"])
+            instruction, answer = self.process_qa(ann["qa"])
+            return {
+                "image": image[None] if image.ndim == 3 else image,  # (1,H,W,C)
+                "answer": answer,
+                "image_id": index,
+                "instruction_input": instruction,
+            }
+        except Exception as e:  # noqa: BLE001 — reference-style random fallback
+            logger.warning("Caught exception %s when loading %s", e, index)
+            return self[int(self.rng.integers(0, len(self)))]
+
+
+class ITVidTrainDataset(ITImgTrainDataset):
+    """Video instruction dataset (reference: ITVidTrainDataset, :268-319)."""
+
+    media_type = "video"
+
+    def __init__(
+        self,
+        ann_file: Sequence[str],
+        transform=None,
+        simple: bool = False,
+        num_frames: int = 4,
+        video_reader_type: str = "decord",
+        sample_type: str = "rand",
+        num_tries: int = 3,
+        system: str = "",
+        role: Tuple[str, str] = ("Human", "Assistant"),
+        start_token: str = "<Video>",
+        end_token: str = "</Video>",
+        add_second_msg: bool = False,
+        random_shuffle: bool = True,
+        seed: Optional[int] = None,
+    ):
+        super().__init__(
+            ann_file, transform, simple=simple, system=system, role=role,
+            start_token=start_token, end_token=end_token,
+            random_shuffle=random_shuffle, seed=seed,
+        )
+        self.num_frames = num_frames
+        self.video_reader = VIDEO_READER_FUNCS[video_reader_type]
+        self.sample_type = sample_type
+        self.num_tries = num_tries
+        self.add_second_msg = add_second_msg
+        self.max_num_frames = -1
+
+    def get_anno(self, index: int) -> Dict:
+        if "num_frames" in self.anno[index]:
+            self.max_num_frames = self.anno[index]["num_frames"]
+        return super().get_anno(index)
+
+    def _load_video(self, index: int, path: str, clip):
+        """Retry-with-random-replacement decode (reference: :77-105)."""
+        for _ in range(self.num_tries):
+            try:
+                frames, frame_indices, duration = self.video_reader(
+                    path, self.num_frames, self.sample_type,
+                    max_num_frames=self.max_num_frames, clip=clip,
+                    rng=self.rng,
+                )
+            except Exception as e:  # noqa: BLE001
+                logger.warning(
+                    "Caught exception %s when loading video %s, randomly "
+                    "sample a new video as replacement", e, path,
+                )
+                index = int(self.rng.integers(0, len(self)))
+                ann = self.get_anno(index)
+                path = ann["image"]
+                clip = [ann["start"], ann["end"]] if "start" in ann else None
+                continue
+            if self.transform:
+                frames = self.transform(frames)
+            # seconds list for the second message (the reference's intended
+            # computation, image_video_itdatasets.py:97 commented line)
+            if duration and len(frame_indices):
+                fps = max(frame_indices) / duration if duration > 0 else 1.0
+                sec = [str(round(f / max(fps, 1e-6), 1)) for f in frame_indices]
+            else:
+                sec = [str(i) for i in range(len(frame_indices))]
+            return frames, index, sec
+        raise RuntimeError(
+            f"Failed to fetch video after {self.num_tries} tries. "
+            f"This might indicate that you have many corrupted videos."
+        )
+
+    def __getitem__(self, index: int) -> Dict:
+        try:
+            ann = self.get_anno(index)
+            clip = [ann["start"], ann["end"]] if "start" in ann else None
+            video, index, sec = self._load_video(index, ann["image"], clip)
+            msg = ""
+            if self.add_second_msg:
+                msg = (f" The video contains {len(sec)} frames sampled at "
+                       f"{', '.join(sec)} seconds. ")
+            instruction, answer = self.process_qa(ann["qa"], msg)
+            return {
+                "image": video,
+                "answer": answer,
+                "image_id": index,
+                "instruction_input": instruction,
+                "video_len": sec,
+            }
+        except Exception as e:  # noqa: BLE001
+            logger.warning("Caught exception %s when loading video idx %s", e, index)
+            return self[int(self.rng.integers(0, len(self)))]
