@@ -1,0 +1,133 @@
+"""Training driver: one jitted step + a thin Python loop.
+
+Replaces both reference trainers (reference: stllm/runners/runner_base.py
+epoch loop + stllm/train/stllm_trainer.py HF Trainer subclass). Everything the
+reference scattered across DeepSpeed configs, HF TrainingArguments and the
+LAVIS runner reduces to:
+
+  - optimizer with LR schedule baked in (optax; per-step schedule like
+    optims.py:13-95 — no mutate-param-group dance);
+  - the jitted train step (CE + MVM, grad accumulation inside — train/step.py);
+  - FSDP x TP sharding applied once to state + every batch (parallel/);
+  - MetricLogger with iter/data timing + ETA (common/logging.py mirrors
+    logger.py:122-181);
+  - orbax checkpoint save/auto-resume (train/checkpoint.py);
+  - stats appended as JSON lines to output_dir/log.txt
+    (reference: runner_base.py:655-667).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from stllm_tpu.common.logging import MetricLogger, SmoothedValue
+from stllm_tpu.parallel.sharding import batch_shardings, stllm_param_shardings
+from stllm_tpu.train.checkpoint import CheckpointManager
+from stllm_tpu.train.step import (
+    TrainState,
+    create_train_state,
+    default_trainable,
+    make_optimizer,
+    make_train_step,
+    partition_params,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg,                            # STLLMConfig
+        params,
+        optimizer=None,
+        *,
+        output_dir: str = "output",
+        mesh=None,
+        accum_steps: int = 1,
+        trainable_fn: Optional[Callable[[str], bool]] = None,
+        learning_rate=1e-4,
+        weight_decay: float = 0.05,
+        max_grad_norm: Optional[float] = 1.0,
+        log_freq: int = 10,
+        save_freq: int = 1000,
+        max_keep: int = 3,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.output_dir = output_dir
+        self.log_freq = log_freq
+        self.save_freq = save_freq
+        os.makedirs(output_dir, exist_ok=True)
+
+        optimizer = optimizer or make_optimizer(
+            learning_rate, weight_decay=weight_decay, max_grad_norm=max_grad_norm)
+        self.optimizer = optimizer
+        trainable_fn = trainable_fn or default_trainable()
+        self.state = create_train_state(params, optimizer, trainable_fn)
+
+        if mesh is not None:
+            p_sh = stllm_param_shardings(mesh, params)
+            t_sh, f_sh = partition_params(p_sh, trainable_fn)
+            self.state = self.state._replace(
+                params=jax.device_put(self.state.params, t_sh),
+                frozen=jax.device_put(self.state.frozen, f_sh),
+            )
+        self._step_fn = jax.jit(make_train_step(cfg, optimizer, accum_steps))
+        self.ckpt = CheckpointManager(output_dir, max_to_keep=max_keep)
+
+    # ------------------------------------------------------------------
+
+    def resume_if_available(self) -> int:
+        step = self.ckpt.latest_step()
+        if step is not None:
+            logger.info("Resuming from checkpoint step %d", step)
+            self.state = self.ckpt.restore(self.state)
+        return int(self.state.step)
+
+    def _put(self, batch: Dict) -> Dict:
+        import jax.numpy as jnp
+
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            batch = jax.device_put(batch, batch_shardings(self.mesh, batch))
+        return batch
+
+    def log_stats(self, stats: Dict) -> None:
+        with open(os.path.join(self.output_dir, "log.txt"), "a") as f:
+            f.write(json.dumps(stats) + "\n")
+
+    def train(
+        self,
+        loader: Iterable,
+        max_steps: int,
+        start_step: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Run up to ``max_steps`` optimizer steps; returns final averages."""
+        start = int(self.state.step) if start_step is None else start_step
+        metric_logger = MetricLogger()
+        metric_logger.add_meter("loss", SmoothedValue(fmt="{value:.4f}"))
+
+        it = iter(loader)
+        data_t0 = time.perf_counter()
+        for step in range(start, max_steps):
+            batch = self._put(next(it))
+            data_time = time.perf_counter() - data_t0
+            self.state, metrics = self._step_fn(self.state, batch)
+            # async dispatch: only block when we actually print
+            if (step + 1) % self.log_freq == 0 or step + 1 == max_steps:
+                host = {k: float(v) for k, v in metrics.items()}
+                metric_logger.update(data_time=data_time, **host)
+                logger.info("step %d/%d  %s", step + 1, max_steps, metric_logger)
+                self.log_stats({"step": step + 1, **host})
+            if (step + 1) % self.save_freq == 0 or step + 1 == max_steps:
+                self.ckpt.save(self.state)
+            data_t0 = time.perf_counter()
+        return {k: m.global_avg for k, m in metric_logger.meters.items()}
