@@ -43,12 +43,18 @@ struct VDHandle {
   int stream_index = -1;
   int width = 0, height = 0;
   double duration_sec = 0.0;
+  // sws_scale's SIMD paths can write past a tightly-packed row (width*3 not
+  // a multiple of the vector width), so scale into this padded/aligned
+  // buffer and memcpy rows into the caller's tight buffer.
+  uint8_t* scale_buf = nullptr;
+  int scale_stride = 0;
   std::vector<FrameEntry> index;  // sorted by pts; position == frame number
   // decoder cursor: index of the NEXT frame the decoder will emit, or -1 if
   // the decoder position is unknown (just seeked / fresh).
   int64_t next_frame = -1;
 
   ~VDHandle() {
+    if (scale_buf) av_free(scale_buf);
     if (sws) sws_freeContext(sws);
     if (frame) av_frame_free(&frame);
     if (pkt) av_packet_free(&pkt);
@@ -126,10 +132,15 @@ bool decode_until(VDHandle* h, int64_t target, uint8_t* rgb_out) {
       int64_t no = h->next_frame >= 0 ? h->next_frame : frame_number_for_pts(h, pts);
       h->next_frame = no + 1;
       if (no >= target) {
-        uint8_t* dst[1] = {rgb_out};
-        int dst_stride[1] = {3 * h->width};
+        uint8_t* dst[1] = {h->scale_buf};
+        int dst_stride[1] = {h->scale_stride};
         sws_scale(h->sws, h->frame->data, h->frame->linesize, 0, h->height,
                   dst, dst_stride);
+        for (int row = 0; row < h->height; ++row) {
+          std::memcpy(rgb_out + (int64_t)row * 3 * h->width,
+                      h->scale_buf + (int64_t)row * h->scale_stride,
+                      3 * h->width);
+        }
         av_frame_unref(h->frame);
         return true;
       }
@@ -212,6 +223,13 @@ VDHandle* vd_open(const char* path, int num_threads) {
                           nullptr, nullptr);
   if (!h->sws) {
     set_error("sws_getContext failed");
+    delete h;
+    return nullptr;
+  }
+  h->scale_stride = FFALIGN(3 * h->width, 64);
+  h->scale_buf = (uint8_t*)av_malloc((size_t)h->scale_stride * h->height + 64);
+  if (!h->scale_buf) {
+    set_error("scale buffer alloc failed");
     delete h;
     return nullptr;
   }

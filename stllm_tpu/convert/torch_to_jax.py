@@ -148,44 +148,9 @@ def convert_btadapter(state: Mapping[str, Any], cfg, depth: int = 3, dtype=None)
     trunk keys as in eva_vit) -> stllm_tpu.models.btadapter params."""
     trunk_state = {k: v for k, v in state.items() if not k.startswith("BTAdapter")}
     params = convert_eva_vit(trunk_state, cfg, dtype=dtype)
-
-    tk = KeyTracker({k: v for k, v in state.items() if k.startswith("BTAdapter")},
-                    "btadapter")
-    temp, spatial = [], []
-    for i in range(depth):
-        t_pre, s_pre = f"BTAdapter_T.{i}", f"BTAdapter_S.{i}"
-        temp.append(
-            {
-                "norm1": _norm(tk, f"{t_pre}.norm1"),
-                "qkv": {"w": tk.take(f"{t_pre}.attn.qkv.weight").T},
-                "q_bias": tk.take(f"{t_pre}.attn.q_bias"),
-                "v_bias": tk.take(f"{t_pre}.attn.v_bias"),
-                "proj": _linear(tk, f"{t_pre}.attn.proj"),
-                "temporal_fc": _linear(tk, f"{t_pre}.temporal_fc"),
-            }
-        )
-        spatial.append(
-            {
-                "norm1": _norm(tk, f"{s_pre}.norm1"),
-                "qkv": {"w": tk.take(f"{s_pre}.attn.qkv.weight").T},
-                "q_bias": tk.take(f"{s_pre}.attn.q_bias"),
-                "v_bias": tk.take(f"{s_pre}.attn.v_bias"),
-                "proj": _linear(tk, f"{s_pre}.attn.proj"),
-                "norm2": _norm(tk, f"{s_pre}.norm2"),
-                "fc1": _linear(tk, f"{s_pre}.mlp.fc1"),
-                "fc2": _linear(tk, f"{s_pre}.mlp.fc2"),
-            }
-        )
-    branch = {
-        "cls": tk.take("BTAdapter_cls"),
-        "time_embed": tk.take("BTAdapter_position.weight"),
-        "temp": temp,
-        "spatial": spatial,
-    }
-    tk.finish()
-    if dtype is None:
-        dtype = cfg.dtype
-    params["btadapter"] = _to_dtype(branch, dtype)
+    params["btadapter"] = convert_btadapter_branch(
+        {k: v for k, v in state.items() if k.startswith("BTAdapter")},
+        cfg, depth, dtype=dtype)
     return params
 
 
@@ -309,6 +274,106 @@ def rename_stllm_keys(state: Mapping[str, Any]) -> Dict[str, Any]:
     """Apply the reference's key surgery: llm_proj -> llama_proj
     (reference: stllm/models/st_llm.py:198-200)."""
     return {k.replace("llm_proj", "llama_proj"): v for k, v in state.items()}
+
+
+def overlay_stllm_checkpoint(params: Dict, state: Mapping[str, Any], cfg,
+                             btadapter_depth: int = 3) -> Dict:
+    """Overlay an ST-LLM release / trainer checkpoint onto an existing param
+    tree with strict=False semantics (reference: st_llm.py:189-201 — key
+    surgery llm_proj->llama_proj, partial load, leftover logging).
+
+    Handles the reference module families: visual_encoder.* (incl BTAdapter_*),
+    ln_vision.*, Qformer.* + query_tokens, llama_proj, down_proj/up_proj
+    (residual module), mvm_decoder.*; wrapper prefixes 'model.' /
+    'stllm_model.' are stripped.
+    """
+    state = rename_stllm_keys(state)
+    flat: Dict[str, np.ndarray] = {}
+    for k, v in state.items():
+        for pre in ("model.stllm_model.", "stllm_model.", "model."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+                break
+        flat[k] = _t(v)
+
+    def sub(prefix: str) -> Dict[str, np.ndarray]:
+        return {k[len(prefix):]: v for k, v in flat.items() if k.startswith(prefix)}
+
+    out = dict(params)
+    vit_state = sub("visual_encoder.")
+    if vit_state:
+        has_branch = any(k.startswith("BTAdapter") for k in vit_state)
+        trunk_full = "patch_embed.proj.weight" in vit_state
+        if trunk_full and has_branch:
+            out["vit"] = convert_btadapter(vit_state, cfg.vit, depth=btadapter_depth)
+        elif trunk_full:
+            out["vit"] = convert_eva_vit(vit_state, cfg.vit)
+        elif has_branch:
+            # trainable-only checkpoint: just the BTAdapter branch, grafted
+            # onto the existing trunk
+            vit = dict(out.get("vit") or {})
+            vit["btadapter"] = convert_btadapter_branch(
+                {k: v for k, v in vit_state.items() if k.startswith("BTAdapter")},
+                cfg.vit, btadapter_depth)
+            out["vit"] = vit
+    if "ln_vision.weight" in flat:
+        out["ln_vision"] = {"scale": flat["ln_vision.weight"],
+                            "bias": flat["ln_vision.bias"]}
+    q_state = {k: v for k, v in flat.items()
+               if k.startswith("Qformer.") or k == "query_tokens"}
+    if any(k.startswith("Qformer.") for k in q_state):
+        out["qformer"] = convert_qformer(q_state, cfg.qformer)
+    if "llama_proj.weight" in flat:
+        out["llama_proj"] = {"w": flat["llama_proj.weight"].T,
+                             "b": flat["llama_proj.bias"]}
+    if "down_proj.weight" in flat:
+        out["residual"] = {
+            "down": {"w": flat["down_proj.weight"].T, "b": flat["down_proj.bias"]},
+            "up": {"w": flat["up_proj.weight"].T, "b": flat["up_proj.bias"]},
+        }
+    if "mvm_decoder.head.weight" in flat:
+        out["mvm_decoder"] = {
+            "head": {"w": flat["mvm_decoder.head.weight"].T,
+                     "b": flat["mvm_decoder.head.bias"]},
+            "norm": {"scale": flat["mvm_decoder.norm.weight"],
+                     "bias": flat["mvm_decoder.norm.bias"]},
+        }
+    return out
+
+
+def convert_btadapter_branch(state: Mapping[str, Any], cfg, depth: int = 3,
+                             dtype=None) -> Dict:
+    """Just the BTAdapter_* branch keys (trainable-only checkpoints)."""
+    tk = KeyTracker(dict(state), "btadapter_branch")
+    temp, spatial = [], []
+    for i in range(depth):
+        t_pre, s_pre = f"BTAdapter_T.{i}", f"BTAdapter_S.{i}"
+        temp.append({
+            "norm1": _norm(tk, f"{t_pre}.norm1"),
+            "qkv": {"w": tk.take(f"{t_pre}.attn.qkv.weight").T},
+            "q_bias": tk.take(f"{t_pre}.attn.q_bias"),
+            "v_bias": tk.take(f"{t_pre}.attn.v_bias"),
+            "proj": _linear(tk, f"{t_pre}.attn.proj"),
+            "temporal_fc": _linear(tk, f"{t_pre}.temporal_fc"),
+        })
+        spatial.append({
+            "norm1": _norm(tk, f"{s_pre}.norm1"),
+            "qkv": {"w": tk.take(f"{s_pre}.attn.qkv.weight").T},
+            "q_bias": tk.take(f"{s_pre}.attn.q_bias"),
+            "v_bias": tk.take(f"{s_pre}.attn.v_bias"),
+            "proj": _linear(tk, f"{s_pre}.attn.proj"),
+            "norm2": _norm(tk, f"{s_pre}.norm2"),
+            "fc1": _linear(tk, f"{s_pre}.mlp.fc1"),
+            "fc2": _linear(tk, f"{s_pre}.mlp.fc2"),
+        })
+    branch = {
+        "cls": tk.take("BTAdapter_cls"),
+        "time_embed": tk.take("BTAdapter_position.weight"),
+        "temp": temp,
+        "spatial": spatial,
+    }
+    tk.finish()
+    return _to_dtype(branch, dtype if dtype is not None else cfg.dtype)
 
 
 def load_torch_file(path: str) -> Dict[str, np.ndarray]:

@@ -316,3 +316,58 @@ def run_mvbench(
         with open(os.path.join(output_dir, f"{output_name}.json"), "w") as f:
             json.dump(result, f)
     return result
+
+
+def main():
+    """CLI mirroring the reference driver (reference: mv_bench_infer.py:20-42)."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cfg-path", required=True)
+    parser.add_argument("--ckpt-path", default=None)
+    parser.add_argument("--anno-path", required=True)
+    parser.add_argument("--data-root", default="")
+    parser.add_argument("--num-frames", type=int, default=100)
+    parser.add_argument("--specified_item", default=None)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--output_name", required=True)
+    parser.add_argument("--options", nargs="+", default=None)
+    parser.add_argument("--system_llm", action="store_false")
+    parser.add_argument("--ask_simple", action="store_true")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from stllm_tpu.common.config import Config
+    from stllm_tpu.common.registry import registry
+    import stllm_tpu.data  # noqa: F401
+    import stllm_tpu.models.zoo  # noqa: F401
+
+    cfg = Config(args.cfg_path, options=args.options)
+    model_cfg = cfg.model_cfg
+    if args.ckpt_path:
+        model_cfg["ckpt"] = args.ckpt_path
+    from stllm_tpu.models.zoo import ensure_tokenizers
+
+    model = registry.get_model_class(model_cfg["arch"]).from_config(model_cfg)
+    ensure_tokenizers(model)
+    chat = model.chat()
+    all_token = model_cfg.get("video_input") != "mean"  # see module docstring
+    resolution = 224
+    if isinstance(model_cfg.get("vit"), dict):
+        resolution = model_cfg["vit"].get("image_size", 224)
+    dataset = MVBenchDataset(args.anno_path, args.data_root,
+                             num_segments=args.num_frames,
+                             resolution=resolution,
+                             specified_item=args.specified_item)
+    run_mvbench(chat, dataset, output_dir=args.output_dir,
+                output_name=args.output_name, ask_simple=args.ask_simple,
+                system_llm=args.system_llm, all_token=all_token)
+
+
+if __name__ == "__main__":
+    main()

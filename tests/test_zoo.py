@@ -1,0 +1,118 @@
+"""Model zoo + config pipeline tests: YAML -> STLLMConfig -> params ->
+checkpoint overlay; registry default-YAML merge."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import stllm_tpu.data  # noqa: F401  (processor registration)
+import stllm_tpu.models.zoo  # noqa: F401  (model registration)
+from stllm_tpu.common.config import Config
+from stllm_tpu.common.registry import Registry
+from stllm_tpu.convert.torch_to_jax import overlay_stllm_checkpoint
+from stllm_tpu.models.zoo import STLLM, build_stllm_config, load_model_and_preprocess
+
+TINY_MODEL_CFG = {
+    "arch": "st_llm_hf",
+    "model_type": "instructblip_vicuna0",
+    "video_input": "residual",
+    "residual_size": 2,
+    "use_mask": True,
+    "mvm_decode": True,
+    "dtype": "fp32",
+    "end_sym": "###",
+    "vit": {"image_size": 28, "patch_size": 14, "width": 32, "depth": 2,
+            "heads": 2, "mlp_hidden": 64, "use_flash": False},
+    "qformer": {"hidden": 16, "num_layers": 2, "heads": 2, "intermediate": 32,
+                "encoder_width": 32, "num_query": 4, "vocab_size": 64},
+    "llama": {"vocab_size": 128, "hidden": 32, "num_layers": 2, "heads": 2,
+              "intermediate": 64, "max_positions": 256},
+}
+
+
+def test_build_config_from_yaml_dict():
+    cfg = build_stllm_config(TINY_MODEL_CFG)
+    assert cfg.vit.width == 32 and cfg.llama.hidden == 32
+    assert cfg.vit.dtype == jnp.float32
+    assert cfg.video_input == "residual" and cfg.mvm_decode
+    assert cfg.qformer_text_input  # instructblip default
+    assert cfg.vit_model == "eva_clip_g"
+
+
+def test_btadapter_model_type_selects_branch():
+    cfg = build_stllm_config({**TINY_MODEL_CFG,
+                              "model_type": "instructblip_vicuna0_btadapter"})
+    assert cfg.vit_model == "eva_btadapter_g"
+    cfg2 = build_stllm_config({**TINY_MODEL_CFG, "model_type": "minigpt4_vicuna0"})
+    assert not cfg2.qformer_text_input
+
+
+def test_from_config_and_chat():
+    model = STLLM.from_config(TINY_MODEL_CFG)
+    assert "vit" in model.params and model.params["llama"] is not None
+    assert "residual" in model.params and "mvm_decoder" in model.params
+    chat = model.chat(image_size=28)
+    assert chat.cfg is model.cfg
+    fn = model.trainable_fn()
+    assert fn("llama_proj/w") and not fn("llama/layers/0/q/w")
+
+
+def test_registry_and_default_yaml_merge():
+    cfg = Config("config/tiny_debug.yaml")
+    mc = cfg.model_cfg
+    assert mc["arch"] == "st_llm_hf"
+    # defaults from stllm_tpu/configs/models/instructblip_vicuna0.yaml merged in
+    assert mc["freeze_vit"] is True
+    assert "q_former_model" in mc
+    # experiment yaml wins over defaults
+    assert mc["video_input"] == "residual"
+    model = Registry.get_model_class(mc["arch"]).from_config(mc)
+    assert model.cfg.llama.hidden == 32
+
+
+def test_overlay_checkpoint():
+    model = STLLM.from_config(TINY_MODEL_CFG)
+    cfg = model.cfg
+    rng = np.random.default_rng(0)
+    d_llm, d_q = cfg.llama.hidden, cfg.qformer.hidden
+    state = {
+        # trainer-style prefix + reference llm_proj naming
+        "model.stllm_model.llm_proj.weight": rng.normal(size=(d_llm, d_q)).astype(np.float32),
+        "model.stllm_model.llm_proj.bias": rng.normal(size=(d_llm,)).astype(np.float32),
+        "model.stllm_model.down_proj.weight": rng.normal(size=(d_llm // 4, d_llm)).astype(np.float32),
+        "model.stllm_model.down_proj.bias": np.zeros(d_llm // 4, np.float32),
+        "model.stllm_model.up_proj.weight": np.zeros((d_llm, d_llm // 4), np.float32),
+        "model.stllm_model.up_proj.bias": np.zeros(d_llm, np.float32),
+        "model.stllm_model.ln_vision.weight": np.ones(cfg.vit.width, np.float32),
+        "model.stllm_model.ln_vision.bias": np.zeros(cfg.vit.width, np.float32),
+        "model.stllm_model.mvm_decoder.head.weight": rng.normal(size=(d_llm, d_llm)).astype(np.float32),
+        "model.stllm_model.mvm_decoder.head.bias": np.zeros(d_llm, np.float32),
+        "model.stllm_model.mvm_decoder.norm.weight": np.ones(d_llm, np.float32),
+        "model.stllm_model.mvm_decoder.norm.bias": np.zeros(d_llm, np.float32),
+    }
+    out = overlay_stllm_checkpoint(model.params, state, cfg)
+    np.testing.assert_allclose(
+        np.asarray(out["llama_proj"]["w"]),
+        state["model.stllm_model.llm_proj.weight"].T, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out["residual"]["down"]["w"]),
+        state["model.stllm_model.down_proj.weight"].T, rtol=1e-6)
+    # untouched families keep their original values
+    np.testing.assert_array_equal(
+        np.asarray(out["qformer"]["query_tokens"]),
+        np.asarray(model.params["qformer"]["query_tokens"]))
+
+
+def test_load_model_and_preprocess():
+    model, vis = load_model_and_preprocess(
+        "st_llm_hf", "instructblip_vicuna0",
+        overrides={k: v for k, v in TINY_MODEL_CFG.items()
+                   if k not in ("arch", "model_type")},
+    )
+    assert model.cfg.llama.hidden == 32
+    assert "train" in vis and "eval" in vis
+    img = np.random.default_rng(0).integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    out = vis["eval"](img)
+    assert out.shape[-1] == 3
