@@ -13,6 +13,7 @@ That estimate (200.0) is the vs_baseline denominator until a measured
 A100 number replaces it.
 """
 
+import dataclasses
 import json
 import time
 
@@ -21,13 +22,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from stllm_tpu.models.stllm import STLLMConfig, encode_img, init_stllm
+from stllm_tpu.models.vit import EVA_VIT_G
 
 REFERENCE_A100_FPS = 200.0
 FRAMES = 64
 
 
 def main():
-    cfg = STLLMConfig()  # full size: EVA-ViT-g + InstructBLIP Q-Former + Vicuna dims
+    # full size: EVA-ViT-g + InstructBLIP Q-Former + Vicuna dims, with the
+    # TPU-fast GELU (tanh approx) on the ViT
+    cfg = STLLMConfig(vit=dataclasses.replace(EVA_VIT_G, gelu_approx=True))
     params = init_stllm(jax.random.PRNGKey(0), cfg, init_llama_params=False)
     params.pop("llama")
 

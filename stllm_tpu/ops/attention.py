@@ -265,7 +265,14 @@ def flash_attention(
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        # Pallas flash attention only pays off for LONG sequences: at short
+        # lengths (e.g. the ViT's 257 tokens) the custom call breaks XLA's
+        # fusion around it and measures ~30% slower on-chip than the plain
+        # XLA softmax(QK^T)V, while the quadratic memory it saves is
+        # negligible. Threshold measured on v5e (see bench history).
+        use_pallas = (
+            jax.default_backend() not in ("cpu",) and k.shape[1] >= 1024
+        )
     if not use_pallas:
         return mha_reference(
             q, k, v, causal=causal, q_mask=q_mask, kv_mask=kv_mask, scale=scale
