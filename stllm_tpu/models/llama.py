@@ -107,11 +107,15 @@ def _layer(
     cache_kv: Optional[Tuple[jax.Array, jax.Array]],
     cache_len: Optional[jax.Array],
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    from stllm_tpu.models.lora import apply_lora
+
     b, s, d = x.shape
     h = rms_norm(layer["input_norm"], x, cfg.rms_eps)
-    q = linear(layer["q"], h).reshape(b, s, cfg.heads, cfg.head_dim)
+    q = apply_lora(layer, "q", h, linear(layer["q"], h))
+    q = q.reshape(b, s, cfg.heads, cfg.head_dim)
     k = linear(layer["k"], h).reshape(b, s, cfg.heads, cfg.head_dim)
-    v = linear(layer["v"], h).reshape(b, s, cfg.heads, cfg.head_dim)
+    v = apply_lora(layer, "v", h, linear(layer["v"], h))
+    v = v.reshape(b, s, cfg.heads, cfg.head_dim)
     q = apply_rope(q, cos, sin, positions)
     k = apply_rope(k, cos, sin, positions)
 

@@ -98,6 +98,12 @@ class STLLM:
         cfg = build_stllm_config(model_cfg)
         params = init_stllm(jax.random.PRNGKey(seed), cfg)
         params = cls._load_weights(params, cfg, model_cfg)
+        lora_r = int(model_cfg.get("lora_r", 0) or 0)
+        if lora_r > 0:
+            from stllm_tpu.models.lora import add_lora
+
+            params = add_lora(params, jax.random.PRNGKey(seed + 1), lora_r,
+                              float(model_cfg.get("lora_alpha", 32)))
         llama_tok = cls._load_llama_tokenizer(model_cfg.get("llama_model"))
         qformer_tok = cls._load_bert_tokenizer(model_cfg.get("bert_model")) \
             if cfg.qformer_text_input else None

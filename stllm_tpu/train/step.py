@@ -73,6 +73,11 @@ def default_trainable(
         if path.startswith("qformer"):
             return not freeze_qformer
         if path.startswith("llama/"):
+            # LoRA adapters train even under freeze_LLM (reference:
+            # st_llm.py:182-185 keeps 'lora' params requires_grad); the
+            # stored alpha scale is a constant, not a parameter
+            if "_lora" in path:
+                return not path.endswith("alpha")
             return not freeze_llm
         return True  # llama_proj, residual, mvm_decoder
     return trainable
