@@ -289,3 +289,31 @@ def evaluate(
     preds = build_prediction_set(pred_file, rubric)
     annotate(rubric, preds, output_dir, judge_fn)
     return combine_and_score(output_dir, output_json, has_pred=rubric.has_pred)
+
+
+def main():
+    """CLI mirroring the reference judge scripts' arguments
+    (reference: evaluate_activitynet_qa.py main() argparse — --pred_path,
+    --output_dir, --output_json, --api_key, --num_tasks)."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--rubric", choices=sorted(RUBRICS), required=True)
+    parser.add_argument("--pred_path", required=True)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--output_json", default=None)
+    parser.add_argument("--api_key", default=None)
+    parser.add_argument("--model", default="gpt-3.5-turbo")
+    args = parser.parse_args()
+
+    if not args.api_key:
+        raise SystemExit("--api_key required (GPT judge needs OpenAI access)")
+    judge = make_openai_judge(args.api_key, args.model)
+    result = evaluate(args.rubric, args.pred_path, args.output_dir, judge,
+                      args.output_json)
+    for k, v in result.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

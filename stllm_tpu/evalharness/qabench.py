@@ -144,3 +144,61 @@ def run_vcgbench_consistency(
     with open(os.path.join(output_dir, f"{output_name}.json"), "w") as f:
         json.dump(out, f)
     return out
+
+
+def main():
+    """CLI covering the reference's qabench/vcgbench scripts
+    (reference: stllm/test/qabench/msvd_qa.py:28-57 and
+    stllm/test/vcgbench/videochatgpt_benchmark_*.py — one driver, --bench
+    selects the loop)."""
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--bench", choices=["videoqa", "vcg_general",
+                                            "vcg_consistency"],
+                        default="videoqa")
+    parser.add_argument("--cfg-path", required=True)
+    parser.add_argument("--ckpt-path", default=None)
+    parser.add_argument("--gt_file", required=True)
+    parser.add_argument("--video_dir", required=True)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--output_name", required=True)
+    parser.add_argument("--num-frames", type=int, default=64)
+    parser.add_argument("--num-beams", type=int, default=5)
+    parser.add_argument("--options", nargs="+", default=None)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from stllm_tpu.common.config import Config
+    from stllm_tpu.common.registry import Registry
+    from stllm_tpu.conversation import CONV_instructblip_Vicuna0, CONV_VIDEO_Vicuna0
+    from stllm_tpu.models.zoo import ensure_tokenizers
+    import stllm_tpu.data  # noqa: F401
+    import stllm_tpu.models.zoo  # noqa: F401
+
+    cfg = Config(args.cfg_path, options=args.options)
+    model_cfg = cfg.model_cfg
+    if args.ckpt_path:
+        model_cfg["ckpt"] = args.ckpt_path
+    model = Registry.get_model_class(model_cfg["arch"]).from_config(model_cfg)
+    ensure_tokenizers(model)
+    image_size = 224
+    if isinstance(model_cfg.get("vit"), dict):
+        image_size = model_cfg["vit"].get("image_size", 224)
+    chat = model.chat(image_size=image_size)
+    conv = (CONV_instructblip_Vicuna0
+            if "instructblip" in str(model_cfg.get("model_type", ""))
+            else CONV_VIDEO_Vicuna0)
+    run = {"videoqa": run_videoqa, "vcg_general": run_vcgbench_general,
+           "vcg_consistency": run_vcgbench_consistency}[args.bench]
+    run(chat, conv, args.gt_file, args.video_dir, args.output_dir,
+        args.output_name, num_frames=args.num_frames, num_beams=args.num_beams)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,8 @@ class Trainer:
         log_freq: int = 10,
         save_freq: int = 1000,
         max_keep: int = 3,
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (2, 5),
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -82,6 +84,10 @@ class Trainer:
             )
         self._step_fn = jax.jit(make_train_step(cfg, optimizer, accum_steps))
         self.ckpt = CheckpointManager(output_dir, max_to_keep=max_keep)
+        # profiling (SURVEY §5: the reference has only wall-clock metering;
+        # here a jax.profiler trace window captures device timelines)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
 
     # ------------------------------------------------------------------
 
@@ -118,9 +124,15 @@ class Trainer:
         it = iter(loader)
         data_t0 = time.perf_counter()
         for step in range(start, max_steps):
+            if self.profile_dir and step == self.profile_steps[0]:
+                jax.profiler.start_trace(self.profile_dir)
             batch = self._put(next(it))
             data_time = time.perf_counter() - data_t0
             self.state, metrics = self._step_fn(self.state, batch)
+            if self.profile_dir and step + 1 == self.profile_steps[1]:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), metrics)
+                jax.profiler.stop_trace()
             # async dispatch: only block when we actually print
             if (step + 1) % self.log_freq == 0 or step + 1 == max_steps:
                 host = {k: float(v) for k, v in metrics.items()}
