@@ -6,6 +6,7 @@ from stllm_tpu.conversation.conversation import (
     CONV_VISION_Vicuna0,
     Chat,
     Conversation,
+    EasyDict,
     SeparatorStyle,
 )
 

@@ -30,6 +30,21 @@ class SeparatorStyle(enum.Enum):
     TWO = enum.auto()
 
 
+class EasyDict(dict):
+    """dict with attribute access (reference:
+    stllm/conversation/mvbench_conversation.py EasyDict — the chat-state
+    container the MVBench flow uses)."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+
 @dataclasses.dataclass
 class Conversation:
     """Prompt builder: system + '###'-separated role turns

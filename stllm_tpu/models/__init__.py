@@ -1,0 +1,30 @@
+"""Models package. Importing registers the model zoo
+(reference: stllm/models/__init__.py — registration by import side effect,
+ModelZoo table at :27-200)."""
+
+from stllm_tpu.models import zoo as _zoo  # noqa: F401  (registry side effect)
+from stllm_tpu.models.zoo import (  # noqa: F401
+    STLLM,
+    build_stllm_config,
+    ensure_tokenizers,
+    load_model_and_preprocess,
+)
+
+
+class ModelZoo:
+    """Printable arch/model-type table (reference: models/__init__.py:160-200)."""
+
+    def __str__(self) -> str:
+        from stllm_tpu.common.registry import Registry
+
+        lines = ["=" * 50,
+                 f"{'Architectures':<30} {'Types'}",
+                 "=" * 50]
+        for name in Registry.list_models():
+            cls = Registry.get_model_class(name)
+            types = ", ".join(getattr(cls, "PRETRAINED_MODEL_CONFIG_DICT", {}))
+            lines.append(f"{name:<30} {types}")
+        return "\n".join(lines)
+
+
+model_zoo = ModelZoo()
