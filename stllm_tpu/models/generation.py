@@ -66,11 +66,40 @@ def _prefill(params, embeds, mask, cfg: LlamaConfig, max_len: int):
     return lm_head(params, last_hidden)[:, 0], cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _decode_step(params, token_ids, cache: KVCache, cfg: LlamaConfig):
+def _decode_step_impl(params, token_ids, cache: KVCache, cfg: LlamaConfig):
     embeds = params["embed_tokens"][token_ids][:, None].astype(cfg.dtype)
     hidden, cache = llama_forward(params, inputs_embeds=embeds, cache=cache, cfg=cfg)
     return lm_head(params, hidden)[:, 0], cache
+
+
+_decode_step = functools.partial(jax.jit, static_argnames=("cfg",))(_decode_step_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _decode_step_greedy(params, token_ids, cache: KVCache, cfg: LlamaConfig):
+    """Greedy fast path: argmax ON DEVICE so only (B,) int32 token ids cross
+    the host boundary per step (the full (B, vocab) fp32 logits transfer
+    dominates per-token latency over the device tunnel)."""
+    logits, cache = _decode_step(params, token_ids, cache, cfg)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n"), donate_argnums=(2,))
+def _decode_chunk_greedy(params, token_ids, cache: KVCache, cfg: LlamaConfig,
+                         n: int):
+    """Decode ``n`` greedy tokens in ONE device call (lax.scan) — amortizes
+    per-call dispatch latency, which dominates single-token decode. The cache
+    is donated so the (layers, B, max_len, H, D) buffers update in place.
+    Returns ((B, n) tokens, cache)."""
+
+    def body(carry, _):
+        cur, cache = carry
+        logits, cache = _decode_step_impl(params, cur, cache, cfg)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache), nxt
+
+    (_, cache), toks = jax.lax.scan(body, (token_ids, cache), None, length=n)
+    return toks.T, cache  # (B, n)
 
 
 def _apply_repetition_penalty(logits: np.ndarray, generated: List[List[int]],
@@ -134,6 +163,10 @@ def generate(
     max_len = embeds.shape[1] + gen.max_new_tokens
     logits, cache = _prefill(params, embeds, mask, llama_cfg, max_len)
 
+    if (not gen.do_sample and gen.repetition_penalty == 1.0
+            and gen.min_length <= 1):
+        return _generate_greedy_ondevice(params, logits, cache, llama_cfg, gen, b)
+
     rng = np.random.default_rng(seed)
     generated: List[List[int]] = [[] for _ in range(b)]
     done = [False] * b
@@ -158,6 +191,37 @@ def generate(
             break
         cur = jnp.asarray(nxt, jnp.int32)
         logits, cache = _decode_step(params, cur, cache, llama_cfg)
+    return generated
+
+
+def _generate_greedy_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
+                              gen: GenerationConfig, b: int,
+                              chunk: int = 16) -> List[List[int]]:
+    """Greedy loop: tokens are produced ``chunk`` at a time in one device
+    call; stop-sequence checks run on host between chunks and truncate any
+    over-generation (per-row semantics identical to the step-wise loop)."""
+    cur = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    generated: List[List[int]] = [[] for _ in range(b)]
+    done = [False] * b
+    emitted = 0
+    first = np.asarray(cur)  # first token comes from prefill logits
+    pending = first[:, None]
+    while True:
+        for col in range(pending.shape[1]):
+            for i in range(b):
+                if not done[i]:
+                    generated[i].append(int(pending[i, col]))
+                    if int(pending[i, col]) == gen.eos_token_id or any(
+                        _ends_with(generated[i], st) for st in gen.stop_sequences
+                    ):
+                        done[i] = True
+            emitted += 1
+            if emitted >= gen.max_new_tokens or all(done):
+                return generated
+        n = min(chunk, gen.max_new_tokens - emitted)
+        toks, cache = _decode_chunk_greedy(params, cur, cache, llama_cfg, n)
+        pending = np.asarray(toks)
+        cur = toks[:, -1]
     return generated
 
 

@@ -209,8 +209,11 @@ def llama_forward(
 
 
 def lm_head(params: Dict, hidden: jax.Array) -> jax.Array:
-    """Logits in fp32."""
-    return jnp.dot(hidden.astype(jnp.float32), params["lm_head"]["w"].astype(jnp.float32))
+    """Logits in fp32 (matmul in the param dtype with fp32 accumulation —
+    upcasting the operands would run an 8x-slower fp32 MXU matmul)."""
+    w = params["lm_head"]["w"]
+    return jnp.dot(hidden.astype(w.dtype), w,
+                   preferred_element_type=jnp.float32)
 
 
 def prefill_with_cache(
