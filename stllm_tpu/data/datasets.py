@@ -231,3 +231,81 @@ class ITVidTrainDataset(ITImgTrainDataset):
         except Exception as e:  # noqa: BLE001
             logger.warning("Caught exception %s when loading video idx %s", e, index)
             return self[int(self.rng.integers(0, len(self)))]
+
+
+def pre_text(text: str, pre: bool = True) -> str:
+    """Caption cleanup for pretraining datasets (reference:
+    stllm/datasets/datasets/utils.py pre_text — lowercase, strip punctuation)."""
+    import re
+
+    if not pre:
+        return text
+    text = re.sub(r"([,.'!?\"()*#:;~])", "", text.lower())
+    text = text.replace("-", " ").replace("/", " ").replace("<person>", "person")
+    text = re.sub(r"\s{2,}", " ", text)
+    return text.rstrip("\n").strip(" ")
+
+
+class PTImgTrainDataset(ITImgTrainDataset):
+    """Caption pretraining dataset: (media, caption, idx) tuples
+    (reference: image_video_itdatasets.py:107-145)."""
+
+    media_type = "image"
+
+    def __init__(self, ann_file: Sequence[str], transform=None,
+                 pre_text: bool = True, seed: Optional[int] = None):
+        if len(ann_file) == 3 and ann_file[2] == "video":
+            self.media_type = "video"
+        self.label_file, self.data_root = ann_file[:2]
+        with open(self.label_file) as f:
+            self.anno = json.load(f)
+        self.num_examples = len(self.anno)
+        self.transform = transform
+        self.pre_text = pre_text
+        self.rng = np.random.default_rng(seed)
+
+    def get_anno(self, index: int) -> Dict:
+        filename = self.anno[index][self.media_type]
+        return {"image": os.path.join(self.data_root, filename),
+                "caption": self.anno[index]["caption"]}
+
+    def __getitem__(self, index: int):
+        try:
+            ann = self.get_anno(index)
+            image = self.load_image(ann["image"])
+            caption = pre_text(ann["caption"], self.pre_text)
+            return image, caption, index
+        except Exception as e:  # noqa: BLE001
+            logger.warning("Caught exception %s when loading %s", e, index)
+            return self[int(self.rng.integers(0, len(self)))]
+
+
+class PTVidTrainDataset(PTImgTrainDataset):
+    """(reference: image_video_itdatasets.py:147-166)"""
+
+    media_type = "video"
+
+    def __init__(self, ann_file: Sequence[str], transform=None,
+                 num_frames: int = 4, video_reader_type: str = "decord",
+                 sample_type: str = "rand", num_tries: int = 3,
+                 pre_text: bool = True, seed: Optional[int] = None):
+        super().__init__(ann_file, transform, pre_text=pre_text, seed=seed)
+        self.num_frames = num_frames
+        self.video_reader = VIDEO_READER_FUNCS[video_reader_type]
+        self.sample_type = sample_type
+        self.num_tries = num_tries
+        self.max_num_frames = -1
+
+    def __getitem__(self, index: int):
+        try:
+            ann = self.get_anno(index)
+            frames, _, _ = self.video_reader(
+                ann["image"], self.num_frames, self.sample_type,
+                max_num_frames=self.max_num_frames, rng=self.rng)
+            if self.transform:
+                frames = self.transform(frames)
+            caption = pre_text(ann["caption"], self.pre_text)
+            return frames, caption, index
+        except Exception as e:  # noqa: BLE001
+            logger.warning("Caught exception %s when loading %s", e, index)
+            return self[int(self.rng.integers(0, len(self)))]
