@@ -1,0 +1,8 @@
+#!/bin/bash
+# (reference: script/inference/qabench/msvd_qa.sh — 64 frames, beam 5)
+python -m stllm_tpu.evalharness.qabench --bench videoqa \
+  --cfg-path config/instructblipbase_stllm_qa.yaml \
+  --ckpt-path "${CKPT:?set CKPT}" \
+  --gt_file "${GT_FILE:?set GT_FILE}" --video_dir "${VIDEO_DIR:?set VIDEO_DIR}" \
+  --num-frames 64 --num-beams 5 \
+  --output_dir output/msvd --output_name msvd_pred "$@"

@@ -1,0 +1,7 @@
+#!/bin/bash
+python -m stllm_tpu.evalharness.qabench --bench vcg_consistency \
+  --cfg-path config/instructblipbase_stllm_qa.yaml \
+  --ckpt-path "${CKPT:?set CKPT}" \
+  --gt_file "${GT_FILE:?set GT_FILE}" --video_dir "${VIDEO_DIR:?set VIDEO_DIR}" \
+  --num-frames 64 --num-beams 5 \
+  --output_dir output/vcg --output_name vcg_consist "$@"
