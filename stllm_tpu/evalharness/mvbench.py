@@ -263,6 +263,96 @@ def infer_mvbench(
     return return_prompt + text.strip().split("\n")[0]
 
 
+def _strip_and_tail(tokens: List[int], llama_tokenizer, return_prompt: str) -> str:
+    if tokens and tokens[0] == 0:
+        tokens = tokens[1:]
+    if tokens and tokens[0] == 1:
+        tokens = tokens[1:]
+    text = llama_tokenizer.decode(tokens)
+    text = text.split("###")[0]
+    text = text.split("Assistant:")[-1].strip()
+    return return_prompt + text.strip().split("\n")[0]
+
+
+def infer_mvbench_batch(
+    chat,
+    samples: List[Dict],
+    system: str = SYSTEM,
+    question_prompt: str = QUESTION_PROMPT,
+    answer_prompt: Optional[str] = ANSWER_PROMPT,
+    return_prompt: str = RETURN_PROMPT,
+    system_llm: bool = True,
+    all_token: bool = True,
+    ask_simple: bool = False,
+    max_new_tokens: int = 100,
+) -> List[str]:
+    """Batched greedy inference over samples with EQUAL frame counts — the
+    first TPU win over the reference's one-video-per-step loop
+    (SURVEY.md §7 build order #6). Encoder runs once over (B*T) frames;
+    prompts are right-padded and decoded as one batch (per-row KV offsets,
+    per-row stop sequences). Produces the same predictions as per-sample
+    infer_mvbench."""
+    import jax.numpy as jnp
+
+    from stllm_tpu.models.generation import GenerationConfig, generate
+    from stllm_tpu.models.stllm import encode_img
+
+    b = len(samples)
+    frames = jnp.asarray(np.stack([s["video"] for s in samples]))  # (B,T,H,W,C)
+
+    q_ids = q_mask = None
+    if chat.cfg.qformer_text_input and chat.qformer_tokenizer is not None:
+        enc = [chat.qformer_tokenizer.encode(s["question"], add_special_tokens=True)
+               [: chat.max_qformer_len] for s in samples]
+        ql = max(len(e) for e in enc)
+        ids = np.zeros((b, ql), np.int32)
+        mask = np.zeros((b, ql), np.int32)
+        for i, e in enumerate(enc):
+            ids[i, : len(e)] = e
+            mask[i, : len(e)] = 1
+        q_ids, q_mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    emb = encode_img(chat.params, frames, chat.cfg, q_ids, q_mask)  # (B,T,Q,D)
+    t, q = emb.shape[1], emb.shape[2]
+    video_emb = emb.reshape(b, t * q, -1) if all_token else emb.mean(axis=1)
+
+    # per-row embedding rows, right-padded
+    rows = []
+    for i, s in enumerate(samples):
+        question = (system + s["question"] + question_prompt
+                    if system_llm else s["question"] + question_prompt)
+        prompt = mvbench_prompt(system, question, answer_prompt)
+        if ask_simple:
+            text = prompt.split("</Video>\n")[1]
+            ids = chat.llama_tokenizer.encode(text, add_special_tokens=True)
+            row = jnp.concatenate(
+                [video_emb[i], chat._embed_ids(ids).astype(video_emb.dtype)[0]],
+                axis=0)
+        else:
+            segs = prompt.split("<VideoHere>")
+            seg_embs = [chat._embed_ids(
+                chat.llama_tokenizer.encode(sg, add_special_tokens=(j == 0)))[0]
+                for j, sg in enumerate(segs)]
+            row = jnp.concatenate(
+                [seg_embs[0].astype(video_emb.dtype), video_emb[i],
+                 seg_embs[1].astype(video_emb.dtype)], axis=0)
+        rows.append(row)
+    max_len = max(r.shape[0] for r in rows)
+    d = rows[0].shape[-1]
+    embs = np.zeros((b, max_len, d), np.float32)
+    attn = np.zeros((b, max_len), np.int32)
+    for i, r in enumerate(rows):
+        embs[i, : r.shape[0]] = np.asarray(r, np.float32)
+        attn[i, : r.shape[0]] = 1
+    embs = jnp.asarray(embs).astype(video_emb.dtype)
+
+    gen = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=False)
+    out = generate(chat.params["llama"], embs, jnp.asarray(attn),
+                   llama_cfg=chat.cfg.llama, gen=gen)
+    return [_strip_and_tail(list(toks), chat.llama_tokenizer, return_prompt)
+            for toks in out]
+
+
 def check_ans(pred: str, gt: str) -> bool:
     """Option-letter match (reference: mv_bench.py:285-300)."""
     pred_list = pred.lower().split(" ")
@@ -287,18 +377,23 @@ def run_mvbench(
     system_llm: bool = True,
     all_token: bool = True,
     verbose: bool = True,
+    batch_size: int = 1,
 ) -> Dict:
-    """Accuracy accumulation + JSON dump (reference: mv_bench_infer.py:68-118)."""
+    """Accuracy accumulation + JSON dump (reference: mv_bench_infer.py:68-118).
+
+    ``batch_size > 1`` groups samples with the same frame count and runs
+    infer_mvbench_batch — same predictions, one encoder/decoder pass per
+    group instead of per video."""
     correct = total = 0
     acc_dict: Dict[str, List[int]] = {}
     res_list = []
-    for example in dataset:
+
+    def score(example: Dict, pred: str) -> None:
+        nonlocal correct, total
         task = example["task_type"]
         acc_dict.setdefault(task, [0, 0])
         acc_dict[task][1] += 1
         total += 1
-        pred = infer_mvbench(chat, example, ask_simple=ask_simple,
-                             system_llm=system_llm, all_token=all_token)
         gt = example["answer"]
         res_list.append({"pred": pred, "gt": gt})
         if check_ans(pred=pred, gt=gt):
@@ -308,6 +403,32 @@ def run_mvbench(
             print(f"{task}: pred={pred!r} gt={gt!r} "
                   f"acc={acc_dict[task][0] / acc_dict[task][1] * 100:.2f}% "
                   f"total={correct / total * 100:.2f}%")
+
+    if batch_size <= 1:
+        for example in dataset:
+            pred = infer_mvbench(chat, example, ask_simple=ask_simple,
+                                 system_llm=system_llm, all_token=all_token)
+            score(example, pred)
+    else:
+        buckets: Dict[int, List[Dict]] = {}
+
+        def flush(t: int) -> None:
+            batch = buckets.pop(t, [])
+            if not batch:
+                return
+            preds = infer_mvbench_batch(chat, batch, ask_simple=ask_simple,
+                                        system_llm=system_llm,
+                                        all_token=all_token)
+            for ex, pred in zip(batch, preds):
+                score(ex, pred)
+
+        for example in dataset:
+            t = example["video"].shape[0]
+            buckets.setdefault(t, []).append(example)
+            if len(buckets[t]) >= batch_size:
+                flush(t)
+        for t in list(buckets):
+            flush(t)
     result = {"acc_dict": {**{k: v for k, v in acc_dict.items()},
                            "Total Acc": f"{correct / max(total, 1) * 100:.2f}%"},
               "res_list": res_list}
@@ -334,6 +455,8 @@ def main():
     parser.add_argument("--options", nargs="+", default=None)
     parser.add_argument("--system_llm", action="store_false")
     parser.add_argument("--ask_simple", action="store_true")
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help="group same-frame-count videos per device pass")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -366,7 +489,8 @@ def main():
                              specified_item=args.specified_item)
     run_mvbench(chat, dataset, output_dir=args.output_dir,
                 output_name=args.output_name, ask_simple=args.ask_simple,
-                system_llm=args.system_llm, all_token=all_token)
+                system_llm=args.system_llm, all_token=all_token,
+                batch_size=args.batch_size)
 
 
 if __name__ == "__main__":

@@ -154,6 +154,21 @@ def test_infer_and_run(bench_dir, chat, tmp_path):
     assert os.path.exists(tmp_path / "r.json")
 
 
+def test_batched_matches_sequential(bench_dir, chat, tmp_path):
+    from stllm_tpu.evalharness.mvbench import infer_mvbench_batch
+
+    anno, media, data_list = bench_dir
+    ds = MVBenchDataset(anno, media, data_list, num_segments=4, resolution=28)
+    samples = [ds[0], ds[1]]  # same frame count, different prompt lengths
+    seq = [infer_mvbench(chat, s, max_new_tokens=6) for s in samples]
+    batched = infer_mvbench_batch(chat, samples, max_new_tokens=6)
+    assert batched == seq
+
+    res = run_mvbench(chat, ds, output_dir=str(tmp_path), output_name="b",
+                      verbose=False, batch_size=2)
+    assert sum(v[1] for k, v in res["acc_dict"].items() if k != "Total Acc") == 3
+
+
 def test_infer_simple_mode(bench_dir, chat):
     anno, media, data_list = bench_dir
     ds = MVBenchDataset(anno, media, data_list, num_segments=4, resolution=28)
