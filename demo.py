@@ -21,6 +21,8 @@ def parse_args():
     parser.add_argument("--ckpt-path", default=None,
                         help="path to STLLM conversation weights.")
     parser.add_argument("--video-path", default="/root/reference/example/BaoguoMa.mp4")
+    parser.add_argument("--image-path", default=None,
+                        help="single-image QA instead of video (1-frame path)")
     parser.add_argument("--question", default="Tell me why this video looks so funny?")
     parser.add_argument("--num-frames", type=int, default=64)
     parser.add_argument("--num-beams", type=int, default=5)
@@ -60,8 +62,14 @@ def main():
 
     conv = CONV_instructblip_Vicuna0.copy()
     img_list = []
-    chat.upload_video(args.video_path, conv, img_list, args.num_frames,
-                      text=args.question)
+    if args.image_path:
+        import cv2
+
+        img = cv2.cvtColor(cv2.imread(args.image_path), cv2.COLOR_BGR2RGB)
+        chat.upload_img(img, conv, img_list)
+    else:
+        chat.upload_video(args.video_path, conv, img_list, args.num_frames,
+                          text=args.question)
     chat.ask("###Human: " + args.question + " ###Assistant: ", conv)
     answer, _ = chat.answer(
         conv=conv, img_list=img_list, num_beams=args.num_beams,

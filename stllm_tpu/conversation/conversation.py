@@ -294,7 +294,12 @@ class Chat:
         """Simple mode: [video tokens] + [system###Human: q ###Assistant: ]
         (reference: conversation.py:322-340)."""
         question = conv.messages[0][1]
-        question = question.split("</Video> ")[1]
+        # the reference splits only on '</Video> ' (its demos are video-only);
+        # accept the image tag too so simple-mode image QA works
+        for tag in ("</Video> ", "</Img> ", "</Frame> "):
+            if tag in question:
+                question = question.split(tag)[1]
+                break
         sys_txt = conv.system if system else ""
         text = sys_txt + "###Human: " + question + " ###Assistant: "
         seg = self._embed_ids(_encode(self.llama_tokenizer, text, True))

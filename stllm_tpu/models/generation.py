@@ -84,6 +84,17 @@ def _decode_step_greedy(params, token_ids, cache: KVCache, cfg: LlamaConfig):
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "k"), donate_argnums=(2,))
+def _decode_step_topk(params, token_ids, cache: KVCache, cfg: LlamaConfig,
+                      k: int):
+    """Beam-search device step: log-softmax + top-k ON DEVICE so each step
+    transfers (B, k) floats + ids instead of the (B, vocab) logits."""
+    logits, cache = _decode_step_impl(params, token_ids, cache, cfg)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    top_v, top_i = jax.lax.top_k(logp, k)
+    return top_v, top_i.astype(jnp.int32), cache
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n"), donate_argnums=(2,))
 def _decode_chunk_greedy(params, token_ids, cache: KVCache, cfg: LlamaConfig,
                          n: int):
@@ -247,16 +258,21 @@ def beam_search(
     beams: List[Tuple[float, List[int]]] = [(0.0, [])] + [(-1e9, [])] * (k - 1)
     finished: List[Tuple[float, List[int]]] = []
 
+    # first step: candidates from the prefill logits (one full transfer);
+    # every later step transfers only (k, 2k) device-side top-k results
+    lg = np.array(logits, np.float32)
+    logp0 = lg - np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(-1, keepdims=True)) - lg.max(-1, keepdims=True)
+    order = np.argsort(-logp0, axis=-1)[:, : 2 * k]
+    top_v = np.take_along_axis(logp0, order, axis=-1)
+    top_i = order
+
     for step in range(gen.max_new_tokens):
-        lg = np.array(logits, np.float32)
-        if step < gen.min_length:
-            lg[:, gen.eos_token_id] = -1e30
-        logp = lg - np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(-1, keepdims=True)) - lg.max(-1, keepdims=True)
         cand = []
         for bi, (score, ids) in enumerate(beams):
-            top = np.argpartition(-logp[bi], 2 * k)[: 2 * k]
-            for t in top:
-                cand.append((score + float(logp[bi, t]), ids + [int(t)], bi))
+            for v, t in zip(top_v[bi], top_i[bi]):
+                if step < gen.min_length and int(t) == gen.eos_token_id:
+                    continue
+                cand.append((score + float(v), ids + [int(t)], bi))
         cand.sort(key=lambda c: -c[0])
 
         new_beams, reorder, next_tokens = [], [], []
@@ -282,9 +298,10 @@ def beam_search(
         beams = new_beams
         idx = jnp.asarray(reorder, jnp.int32)
         cache = KVCache(k=cache.k[:, idx], v=cache.v[:, idx], length=cache.length[idx])
-        logits, cache = _decode_step(
-            params, jnp.asarray(next_tokens, jnp.int32), cache, llama_cfg
+        tv, ti, cache = _decode_step_topk(
+            params, jnp.asarray(next_tokens, jnp.int32), cache, llama_cfg, 2 * k
         )
+        top_v, top_i = np.asarray(tv), np.asarray(ti)
 
     if not finished:
         finished = [(score / (max(len(ids), 1) ** gen.length_penalty), ids)
