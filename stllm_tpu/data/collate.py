@@ -73,7 +73,13 @@ class TrainCollator:
             instruction = s["instruction_input"]
             before, after = instruction.split("<ImageHere>")
             before_ids.append(self._encode(before))
-            after_ids.append(self._encode(after))
+            # reference quirk preserved: the AFTER segment is tokenized with
+            # add_special_tokens=qformer_text_input, injecting a BOS right
+            # after the video tokens (st_llm.py:388-391)
+            after = self._encode(after)
+            if self.cfg.qformer_text_input:
+                after = [self.bos_id] + after
+            after_ids.append(after)
             if self.cfg.qformer_text_input:
                 ans = self._encode(s["answer"])[: self.cfg.max_txt_len] + [self.eos_id]
             else:
