@@ -55,10 +55,17 @@ def build_stllm_config(cfg: Mapping) -> STLLMConfig:
             else "eva_clip_g"
     qformer_text_input = cfg.get("qformer_text_input",
                                  "instructblip" in str(model_type))
+    vit_over = dict(cfg.get("vit") or {})
+    llama_over = dict(cfg.get("llama") or {})
+    if cfg.get("use_grad_checkpoint", False):
+        # reference: per-ViT-block checkpointing (eva_vit.py:336-337) and
+        # gradient_checkpointing_enable on the LLM (st_llm.py:186-187)
+        vit_over.setdefault("remat", True)
+        llama_over.setdefault("remat", True)
     return STLLMConfig(
-        vit=_sub_config(EVA_VIT_G, cfg.get("vit"), dtype),
+        vit=_sub_config(EVA_VIT_G, vit_over, dtype),
         qformer=_sub_config(INSTRUCT_BLIP_QFORMER, cfg.get("qformer"), dtype),
-        llama=_sub_config(VICUNA_7B, cfg.get("llama"), dtype),
+        llama=_sub_config(VICUNA_7B, llama_over, dtype),
         video_input=cfg.get("video_input", "residual"),
         residual_size=cfg.get("residual_size", 4),
         use_mask=cfg.get("use_mask", False),

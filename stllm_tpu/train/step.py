@@ -117,11 +117,27 @@ def make_optimizer(
     beta1: float = 0.9,
     beta2: float = 0.999,
     max_grad_norm: Optional[float] = 1.0,
+    projector_lr: Optional[optax.Schedule | float] = None,
+    projector_prefix: str = "llama_proj",
 ) -> optax.GradientTransformation:
-    tx = optax.adamw(
-        learning_rate, b1=beta1, b2=beta2, weight_decay=weight_decay,
-        mask=weight_decay_mask,
-    )
+    """AdamW with wd-exempt mask; ``projector_lr`` gives the projection its
+    own learning rate (reference mm_projector_lr,
+    stllm/train/stllm_trainer.py:218-305)."""
+    def adamw(lr):
+        return optax.adamw(lr, b1=beta1, b2=beta2, weight_decay=weight_decay,
+                           mask=weight_decay_mask)
+
+    if projector_lr is None:
+        tx = adamw(learning_rate)
+    else:
+        def label_fn(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda p, _: "proj" if path_str(p).startswith(projector_prefix)
+                else "base", params)
+
+        tx = optax.multi_transform(
+            {"base": adamw(learning_rate), "proj": adamw(projector_lr)},
+            label_fn)
     if max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), tx)
     return tx
