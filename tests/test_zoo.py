@@ -105,6 +105,29 @@ def test_overlay_checkpoint():
         np.asarray(model.params["qformer"]["query_tokens"]))
 
 
+def test_minigpt4_mode_forward():
+    """qformer_text_input=False end-to-end: stripped Q-Former embeddings,
+    front BOS, end_sym answers (reference minigpt4_vicuna0 path)."""
+    from stllm_tpu.data.packing import pack_training_batch
+
+    cfg_dict = {**TINY_MODEL_CFG, "model_type": "minigpt4_vicuna0",
+                "use_mask": False}
+    model = STLLM.from_config(cfg_dict)
+    assert not model.cfg.qformer_text_input
+    assert model.params["qformer"]["embeddings"]["word"] is None
+
+    from stllm_tpu.models.stllm import stllm_forward
+
+    rng = np.random.default_rng(0)
+    v = model.cfg.num_video_tokens(4)
+    batch = pack_training_batch([[5, 6]] * 2, [[8]] * 2, [[11, 12]] * 2,
+                                num_video=v, seq_len=64, pad_id=0, bos_id=1)
+    batch = {k: jnp.asarray(x) for k, x in batch.items()}
+    batch["frames"] = jnp.asarray(rng.normal(size=(2, 4, 28, 28, 3)), jnp.float32)
+    out = stllm_forward(model.params, batch, model.cfg)
+    assert np.isfinite(float(out["loss"]))
+
+
 def test_load_model_and_preprocess():
     model, vis = load_model_and_preprocess(
         "st_llm_hf", "instructblip_vicuna0",
