@@ -85,10 +85,14 @@ def _decode_step_greedy(params, token_ids, cache: KVCache, cfg: LlamaConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "k"), donate_argnums=(2,))
-def _decode_step_topk(params, token_ids, cache: KVCache, cfg: LlamaConfig,
+def _decode_step_topk(params, token_ids, cache: KVCache, reorder, cfg: LlamaConfig,
                       k: int):
-    """Beam-search device step: log-softmax + top-k ON DEVICE so each step
-    transfers (B, k) floats + ids instead of the (B, vocab) logits."""
+    """Beam-search device step: beam reorder + decode + log-softmax + top-k
+    in ONE jitted call with a donated cache — each step transfers (B, k)
+    floats + ids instead of the (B, vocab) logits, and the multi-GB cache
+    gather stays fused on device instead of dispatching eagerly."""
+    cache = KVCache(k=cache.k[:, reorder], v=cache.v[:, reorder],
+                    length=cache.length[reorder])
     logits, cache = _decode_step_impl(params, token_ids, cache, cfg)
     logp = jax.nn.log_softmax(logits, axis=-1)
     top_v, top_i = jax.lax.top_k(logp, k)
@@ -360,10 +364,9 @@ def beam_search(
             reorder.append(reorder[-1])
             next_tokens.append(next_tokens[-1])
         beams = new_beams
-        idx = jnp.asarray(reorder, jnp.int32)
-        cache = KVCache(k=cache.k[:, idx], v=cache.v[:, idx], length=cache.length[idx])
         tv, ti, cache = _decode_step_topk(
-            params, jnp.asarray(next_tokens, jnp.int32), cache, llama_cfg, 2 * k
+            params, jnp.asarray(next_tokens, jnp.int32), cache,
+            jnp.asarray(reorder, jnp.int32), llama_cfg, 2 * k
         )
         top_v, top_i = np.asarray(tv), np.asarray(ti)
 
