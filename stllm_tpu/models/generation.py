@@ -84,19 +84,26 @@ def _decode_step_greedy(params, token_ids, cache: KVCache, cfg: LlamaConfig):
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "k"), donate_argnums=(2,))
-def _decode_step_topk(params, token_ids, cache: KVCache, reorder, cfg: LlamaConfig,
-                      k: int):
-    """Beam-search device step: beam reorder + decode + log-softmax + top-k
-    in ONE jitted call with a donated cache — each step transfers (B, k)
-    floats + ids instead of the (B, vocab) logits, and the multi-GB cache
-    gather stays fused on device instead of dispatching eagerly."""
-    cache = KVCache(k=cache.k[:, reorder], v=cache.v[:, reorder],
-                    length=cache.length[reorder])
-    logits, cache = _decode_step_impl(params, token_ids, cache, cfg)
+@functools.partial(jax.jit, static_argnames=("cfg", "k"), donate_argnums=(3,))
+def _decode_step_topk_prefix(params, token_ids, prefix: KVCache,
+                             gen_cache: KVCache, reorder, cfg: LlamaConfig,
+                             k: int):
+    """Beam-search device step: beam reorder + prefix-shared decode +
+    log-softmax + top-k in ONE jitted call. The prompt KV lives ONCE in
+    ``prefix`` (never replicated per beam — beam 5 x 512-token prompts on 7B
+    OOM a 16 GB chip otherwise); only the small per-beam generated cache is
+    gathered/donated. Each step transfers (B, k) floats + ids instead of the
+    (B, vocab) logits."""
+    from stllm_tpu.models.llama import llama_decode_prefix
+
+    gen_cache = KVCache(k=gen_cache.k[:, reorder], v=gen_cache.v[:, reorder],
+                        length=gen_cache.length[reorder])
+    embeds = params["embed_tokens"][token_ids][:, None].astype(cfg.dtype)
+    hidden, gen_cache = llama_decode_prefix(params, embeds, prefix, gen_cache, cfg)
+    logits = lm_head(params, hidden)[:, 0]
     logp = jax.nn.log_softmax(logits, axis=-1)
     top_v, top_i = jax.lax.top_k(logp, k)
-    return top_v, top_i.astype(jnp.int32), cache
+    return top_v, top_i.astype(jnp.int32), gen_cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "k"), donate_argnums=(2,))
@@ -312,16 +319,18 @@ def beam_search(
     llama_cfg: LlamaConfig,
     gen: GenerationConfig,
 ) -> List[int]:
-    """HF-style length-penalized beam search for a single prompt."""
+    """HF-style length-penalized beam search for a single prompt.
+
+    The prompt is prefilled ONCE at batch 1; decode attends over the shared
+    prompt prefix + a small per-beam generated cache (llama_decode_prefix),
+    so memory is prompt + beams*max_new instead of beams*(prompt+max_new)."""
     k = gen.num_beams
     s = inputs_embeds.shape[1]
     if attention_mask is None:
         attention_mask = jnp.ones((1, s), jnp.int32)
-    embeds = jnp.repeat(inputs_embeds, k, axis=0)
-    mask = jnp.repeat(attention_mask, k, axis=0)
-    embeds, mask = _pad_prompt(embeds, mask, gen.pad_to_multiple)
-    max_len = embeds.shape[1] + gen.max_new_tokens
-    logits, cache = _prefill(params, embeds, mask, llama_cfg, max_len)
+    embeds, mask = _pad_prompt(inputs_embeds, attention_mask, gen.pad_to_multiple)
+    logits, prefix = _prefill(params, embeds, mask, llama_cfg, embeds.shape[1])
+    gen_cache = init_kv_cache(llama_cfg, k, gen.max_new_tokens)
 
     beams: List[Tuple[float, List[int]]] = [(0.0, [])] + [(-1e9, [])] * (k - 1)
     finished: List[Tuple[float, List[int]]] = []
@@ -331,8 +340,8 @@ def beam_search(
     lg = np.array(logits, np.float32)
     logp0 = lg - np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(-1, keepdims=True)) - lg.max(-1, keepdims=True)
     order = np.argsort(-logp0, axis=-1)[:, : 2 * k]
-    top_v = np.take_along_axis(logp0, order, axis=-1)
-    top_i = order
+    top_v = np.repeat(np.take_along_axis(logp0, order, axis=-1), k, axis=0)
+    top_i = np.repeat(order, k, axis=0)
 
     for step in range(gen.max_new_tokens):
         cand = []
@@ -364,8 +373,8 @@ def beam_search(
             reorder.append(reorder[-1])
             next_tokens.append(next_tokens[-1])
         beams = new_beams
-        tv, ti, cache = _decode_step_topk(
-            params, jnp.asarray(next_tokens, jnp.int32), cache,
+        tv, ti, gen_cache = _decode_step_topk_prefix(
+            params, jnp.asarray(next_tokens, jnp.int32), prefix, gen_cache,
             jnp.asarray(reorder, jnp.int32), llama_cfg, 2 * k
         )
         top_v, top_i = np.asarray(tv), np.asarray(ti)

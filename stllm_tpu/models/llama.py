@@ -208,6 +208,82 @@ def llama_forward(
     return x, new_cache
 
 
+def llama_decode_prefix(
+    params: Dict,
+    inputs_embeds: jax.Array,      # (B, 1, d) — one new token per beam/row
+    prefix: KVCache,               # (layers, 1, S, H, D) shared prompt cache
+    gen: KVCache,                  # (layers, B, G, H, D) per-row generated cache
+    cfg: LlamaConfig,
+) -> Tuple[jax.Array, KVCache]:
+    """Single-token decode against a SHARED prompt prefix plus per-row
+    generated caches — beam search stores the prompt KV once instead of
+    num_beams times (the reference's HF beam replicates the whole cache;
+    on one 16 GB chip that OOMs 7B at beam 5 x 512-token prompts).
+
+    Attention concatenates the two score segments before one softmax, so the
+    result is bit-equivalent to attending over a physically-replicated cache.
+    Returns (hidden (B, 1, d), updated gen cache).
+    """
+    from stllm_tpu.models.lora import apply_lora
+
+    x = inputs_embeds.astype(cfg.dtype)
+    b, s, d = x.shape
+    assert s == 1, "prefix decode is single-token"
+    prefix_len = prefix.length[0]                       # scalar (shared prompt)
+    positions = (prefix_len + gen.length)[:, None]      # (B, 1) absolute
+    cos, sin = rope_table(cfg.head_dim, cfg.max_positions, cfg.rope_theta)
+
+    s_p = prefix.k.shape[2]
+    g_max = gen.k.shape[2]
+    mask_p = (jnp.arange(s_p) < prefix_len)[None, None, None, :]    # (1,1,1,S)
+    mask_g = jnp.arange(g_max)[None, :] <= gen.length[:, None]      # (B,G)
+
+    new_k, new_v = [], []
+    for i, layer in enumerate(params["layers"]):
+        h = rms_norm(layer["input_norm"], x, cfg.rms_eps)
+        q = apply_lora(layer, "q", h, linear(layer["q"], h))
+        q = q.reshape(b, s, cfg.heads, cfg.head_dim)
+        k = linear(layer["k"], h).reshape(b, s, cfg.heads, cfg.head_dim)
+        v = apply_lora(layer, "v", h, linear(layer["v"], h))
+        v = v.reshape(b, s, cfg.heads, cfg.head_dim)
+        q = apply_rope(q, cos, sin, positions)
+        k = apply_rope(k, cos, sin, positions)
+
+        gk = jax.vmap(lambda c, n, off: jax.lax.dynamic_update_slice(
+            c, n.astype(c.dtype), (off, 0, 0)))(gen.k[i], k, gen.length)
+        gv = jax.vmap(lambda c, n, off: jax.lax.dynamic_update_slice(
+            c, n.astype(c.dtype), (off, 0, 0)))(gen.v[i], v, gen.length)
+        new_k.append(gk)
+        new_v.append(gv)
+
+        # (B, H, 1, S_p) + (B, H, 1, G): one softmax over both segments
+        qt = q.transpose(0, 2, 1, 3)
+        pk = prefix.k[i].transpose(0, 2, 1, 3)          # (1, H, S_p, D)
+        pv = prefix.v[i].transpose(0, 2, 1, 3)
+        gkt = gk.transpose(0, 2, 1, 3)
+        gvt = gv.transpose(0, 2, 1, 3)
+        scale = cfg.head_dim ** -0.5
+        s_pfx = (jnp.einsum("bhqd,phkd->bhqk", qt, pk) * scale).astype(jnp.float32)
+        s_gen = (jnp.einsum("bhqd,bhkd->bhqk", qt, gkt) * scale).astype(jnp.float32)
+        s_pfx = jnp.where(mask_p, s_pfx, -1e30)
+        s_gen = jnp.where(mask_g[:, None, None, :], s_gen, -1e30)
+        logits = jnp.concatenate([s_pfx, s_gen], axis=-1)
+        w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        w_p, w_g = w[..., :s_p], w[..., s_p:]
+        out = (jnp.einsum("bhqk,phkd->bhqd", w_p, pv)
+               + jnp.einsum("bhqk,bhkd->bhqd", w_g, gvt))
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
+
+        x = x + linear(layer["o"], out)
+        h2 = rms_norm(layer["post_norm"], x, cfg.rms_eps)
+        x = x + swiglu_mlp(layer, h2)
+
+    x = rms_norm(params["norm"], x, cfg.rms_eps)
+    new_gen = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v),
+                      length=gen.length + 1)
+    return x, new_gen
+
+
 def lm_head(params: Dict, hidden: jax.Array) -> jax.Array:
     """Logits in fp32 (matmul in the param dtype with fp32 accumulation —
     upcasting the operands would run an 8x-slower fp32 MXU matmul)."""
