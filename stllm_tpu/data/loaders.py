@@ -74,13 +74,16 @@ class DataLoader:
 
     def __iter__(self) -> Iterator:
         batches = self._index_batches()
-        with ThreadPoolExecutor(self.num_workers) as pool:
+        # not a context manager: an abandoned iterator would run the
+        # executor's blocking shutdown inside GC (noisy on interpreter exit);
+        # shut down explicitly without waiting instead
+        pool = ThreadPoolExecutor(self.num_workers)
+        try:
             pending = []
             bi = 0
 
             def submit(idxs):
-                futures = [pool.submit(self.dataset.__getitem__, i) for i in idxs]
-                return futures
+                return [pool.submit(self.dataset.__getitem__, i) for i in idxs]
 
             while bi < len(batches) and len(pending) < self.prefetch:
                 pending.append(submit(batches[bi]))
@@ -92,6 +95,8 @@ class DataLoader:
                     pending.append(submit(batches[bi]))
                     bi += 1
                 yield self.collate_fn(samples)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 class MultiIterLoader:
