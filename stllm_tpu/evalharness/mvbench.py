@@ -378,12 +378,18 @@ def run_mvbench(
     all_token: bool = True,
     verbose: bool = True,
     batch_size: int = 1,
+    shard: Optional[Tuple[int, int]] = None,
 ) -> Dict:
     """Accuracy accumulation + JSON dump (reference: mv_bench_infer.py:68-118).
 
     ``batch_size > 1`` groups samples with the same frame count and runs
     infer_mvbench_batch — same predictions, one encoder/decoder pass per
-    group instead of per video."""
+    group instead of per video.
+
+    ``shard=(rank, world)`` evaluates every world-th sample — multi-host
+    eval in the reference's style (DistributedSampler + rank-sharded JSON,
+    base_task.py:248-286); pass each host's result_list to
+    tasks.base_task.BaseTask.save_result to merge."""
     correct = total = 0
     acc_dict: Dict[str, List[int]] = {}
     res_list = []
@@ -404,8 +410,12 @@ def run_mvbench(
                   f"acc={acc_dict[task][0] / acc_dict[task][1] * 100:.2f}% "
                   f"total={correct / total * 100:.2f}%")
 
+    rank, world = shard if shard else (0, 1)
+    indices = range(rank, len(dataset), world)
+
     if batch_size <= 1:
-        for example in dataset:
+        for i in indices:
+            example = dataset[i]
             pred = infer_mvbench(chat, example, ask_simple=ask_simple,
                                  system_llm=system_llm, all_token=all_token)
             score(example, pred)
@@ -422,7 +432,8 @@ def run_mvbench(
             for ex, pred in zip(batch, preds):
                 score(ex, pred)
 
-        for example in dataset:
+        for i in indices:
+            example = dataset[i]
             t = example["video"].shape[0]
             buckets.setdefault(t, []).append(example)
             if len(buckets[t]) >= batch_size:
