@@ -237,6 +237,25 @@ def test_multi_iter_loader_ratios():
     assert draws.count("x") > 150
 
 
+def test_loader_determinism(corpus_dir):
+    """Same seeds -> byte-identical batches across loader instances, even
+    with threaded workers (the schedule and every rng draw are seeded; the
+    reference relied on cudnn.deterministic + a broadcast order instead)."""
+    ann, vids = corpus_dir
+    def build():
+        ds = ITVidTrainDataset([ann, vids, "video"], transform=_resize28,
+                               num_frames=4, seed=7, sample_type="middle",
+                               random_shuffle=False)
+        coll = TrainCollator(TINY, ToyTokenizer(), qformer_tokenizer=ToyTokenizer(64),
+                             seed=7)
+        return DataLoader(ds, batch_size=2, collate_fn=coll, num_workers=4, seed=7)
+
+    b1 = next(iter(build()))
+    b2 = next(iter(build()))
+    for k in b1:
+        np.testing.assert_array_equal(b1[k], b2[k])
+
+
 def test_device_prefetcher():
     batches = [{"a": np.ones((2, 2))} for _ in range(3)]
     pf = DevicePrefetcher(batches)
