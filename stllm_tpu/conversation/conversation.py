@@ -198,7 +198,10 @@ class Chat:
         self.cfg = cfg
         self.llama_tokenizer = llama_tokenizer
         self.qformer_tokenizer = qformer_tokenizer
-        self.transform = ChatVideoEvalProcessor(image_size=image_size)
+        # normalize=False: frames stay uint8 on the host and are
+        # CLIP-normalized on device inside encode_img (1/4 transfer bytes)
+        self.transform = ChatVideoEvalProcessor(image_size=image_size,
+                                                normalize=False)
         self.max_qformer_len = max_qformer_len
 
     # -- prompt management -------------------------------------------------

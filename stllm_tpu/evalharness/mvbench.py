@@ -71,7 +71,9 @@ class MVBenchDataset:
     def __init__(self, anno_dir: str, data_root: str = "",
                  data_list: Dict = None, num_segments: int = 8,
                  resolution: int = 224, specified_item: Optional[str] = None,
-                 normalize: bool = True):
+                 normalize: bool = False):
+        # normalize=False (default): frames stay uint8; encode_img
+        # CLIP-normalizes on device (fused, 1/4 host->device bytes)
         data_list = data_list or DATA_LIST
         if specified_item:
             data_list = {specified_item: data_list[specified_item]}

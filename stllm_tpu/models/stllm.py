@@ -136,13 +136,23 @@ def init_stllm(rng: jax.Array, cfg: STLLMConfig, init_llama_params: bool = True)
 def encode_img(
     params: Dict,
     frames: jax.Array,                        # (B, T, H, W, C) normalized
-    cfg: STLLMConfig,
+    cfg: STLLMConfig,                         #  — or uint8 (see below)
     qformer_text_ids: Optional[jax.Array] = None,   # (B, Lq)
     qformer_text_mask: Optional[jax.Array] = None,  # (B, Lq)
 ) -> jax.Array:
     """ViT over B*T frames -> fp32 ln_vision -> Q-Former (with per-frame
     repeated question text when qformer_text_input) -> llama_proj.
-    Returns (B, T, num_query, d_llm)."""
+    Returns (B, T, num_query, d_llm).
+
+    uint8 frames are CLIP-normalized ON DEVICE (fused into this graph) —
+    send raw crops across the bus at 1/4 the bytes and skip the host-side
+    normalize (the reference normalizes on the CPU dataloader workers)."""
+    if frames.dtype == jnp.uint8:
+        from stllm_tpu.data.processors import CLIP_MEAN, CLIP_STD
+
+        mean = jnp.asarray(CLIP_MEAN, jnp.float32) * 255.0
+        std = jnp.asarray(CLIP_STD, jnp.float32) * 255.0
+        frames = ((frames.astype(jnp.float32) - mean) / std).astype(cfg.vit.dtype)
     b, t = frames.shape[:2]
     flat = frames.reshape((b * t,) + frames.shape[2:])
     if cfg.vit_model == "eva_btadapter_g":

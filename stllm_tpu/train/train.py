@@ -42,12 +42,15 @@ def build_datasets(cfg, run_cfg, synthetic: int, tmp_dir: str = "/tmp/stllm_synt
     num_frames = int(run_cfg.get("num_frames", 16))
     image_size = int(run_cfg.get("image_size", 224))
 
-    def transform(frames):
-        import cv2
+    # reference train_transform = RandomResizedCrop(224, .5-1) + normalize
+    # (instruction_data.py:8-19); here the crop stays uint8 on the host and
+    # CLIP normalization happens on device inside encode_img
+    from stllm_tpu.data.processors import random_resized_crop
 
-        out = np.stack([cv2.resize(f, (image_size, image_size),
-                                   interpolation=cv2.INTER_CUBIC) for f in frames])
-        return out.astype(np.float32) / 255.0
+    rrc_rng = np.random.default_rng(int(run_cfg.get("seed", 42)))
+
+    def transform(frames):
+        return random_resized_crop(rrc_rng, frames, image_size).astype(np.uint8)
 
     if synthetic:
         import json
