@@ -115,11 +115,37 @@ class Trainer:
         loader: Iterable,
         max_steps: int,
         start_step: Optional[int] = None,
+        eval_fn: Optional[Callable[[], float]] = None,
+        eval_freq: Optional[int] = None,
+        best_mode: str = "max",
     ) -> Dict[str, float]:
-        """Run up to ``max_steps`` optimizer steps; returns final averages."""
+        """Run up to ``max_steps`` optimizer steps; returns final averages.
+
+        ``eval_fn`` (returns a scalar metric) runs every ``eval_freq`` steps
+        and at the end; when the metric improves, the checkpoint is ALSO
+        recorded as the best step in output_dir/best.json (the reference
+        runner's valid-split best-checkpoint logic, runner_base.py:366-424,
+        without a separate checkpoint_best.pth copy — orbax keeps the step)."""
         start = int(self.state.step) if start_step is None else start_step
         metric_logger = MetricLogger()
         metric_logger.add_meter("loss", SmoothedValue(fmt="{value:.4f}"))
+
+        best = None
+
+        def run_eval(step: int) -> None:
+            nonlocal best
+            metric = float(eval_fn())
+            improved = (best is None
+                        or (metric > best if best_mode == "max" else metric < best))
+            logger.info("eval @%d: %.5f%s", step, metric,
+                        " (best)" if improved else "")
+            self.log_stats({"step": step, "eval_metric": metric,
+                            "best": improved})
+            if improved:
+                best = metric
+                self.ckpt.save(self.state)
+                with open(os.path.join(self.output_dir, "best.json"), "w") as f:
+                    json.dump({"step": step, "metric": metric}, f)
 
         it = iter(loader)
         data_t0 = time.perf_counter()
@@ -141,5 +167,10 @@ class Trainer:
                 self.log_stats({"step": step + 1, **host})
             if (step + 1) % self.save_freq == 0 or step + 1 == max_steps:
                 self.ckpt.save(self.state)
+            if eval_fn is not None and eval_freq and (step + 1) % eval_freq == 0:
+                run_eval(step + 1)
             data_t0 = time.perf_counter()
+        if eval_fn is not None and not (
+                eval_freq and max_steps > start and max_steps % eval_freq == 0):
+            run_eval(max_steps)
         return {k: m.global_avg for k, m in metric_logger.meters.items()}

@@ -76,6 +76,32 @@ def test_checkpoint_roundtrip(tmp_path):
     assert sum(m) > 0
 
 
+def test_eval_best_checkpoint(tmp_path):
+    params = init_stllm(jax.random.PRNGKey(0), TINY)
+    tr = Trainer(TINY, params, output_dir=str(tmp_path), learning_rate=1e-3,
+                 save_freq=100, log_freq=100)
+    metrics = iter([1.0, 3.0, 2.0])
+    calls = []
+
+    def eval_fn():
+        m = next(metrics)
+        calls.append(m)
+        return m
+
+    tr.train(_loader(), max_steps=4, eval_fn=eval_fn, eval_freq=2)
+    assert calls == [1.0, 3.0]  # step 2 and step 4 (no duplicate final eval)
+    best = json.loads((tmp_path / "best.json").read_text())
+    assert best["metric"] == 3.0 and best["step"] == 4
+    # a non-aligned max_steps still gets the final eval
+    tr2 = Trainer(TINY, init_stllm(jax.random.PRNGKey(1), TINY),
+                  output_dir=str(tmp_path / "b"), learning_rate=1e-3,
+                  save_freq=100, log_freq=100)
+    calls2 = []
+    tr2.train(_loader(), max_steps=3, eval_fn=lambda: calls2.append(1) or 1.0,
+              eval_freq=2)
+    assert len(calls2) == 2  # step 2 + final step 3
+
+
 def test_resume_continues_training(tmp_path):
     params = init_stllm(jax.random.PRNGKey(0), TINY)
     tr = Trainer(TINY, params, output_dir=str(tmp_path), learning_rate=1e-3,
