@@ -27,6 +27,13 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _pvary(x, axis_name):
+    """Mark x as varying over axis_name (scan carry typing under shard_map)."""
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(x, (axis_name,), to="varying")
+    return jax.lax.pvary(x, axis_name)
+
+
 def _partial_attention(
     q: jax.Array,            # (B, Sq, H, D) local queries
     k: jax.Array,            # (B, Sk, H, D) current kv shard
@@ -81,7 +88,7 @@ def ring_attention(
     n = jax.lax.axis_size(axis_name)
     my = jax.lax.axis_index(axis_name)
     if kv_mask is None:
-        kv_mask = jax.lax.pvary(jnp.ones((b, s_local), bool), axis_name)
+        kv_mask = _pvary(jnp.ones((b, s_local), bool), axis_name)
     kv_mask = kv_mask.astype(bool)
 
     q_off = my * s_local
@@ -102,9 +109,8 @@ def ring_attention(
         m_nxt = jax.lax.ppermute(m_cur, axis_name, perm)
         return (out_new, lse_new, k_nxt, v_nxt, m_nxt), None
 
-    out0 = jax.lax.pvary(jnp.zeros((b, s_local, h, d), jnp.float32), axis_name)
-    lse0 = jax.lax.pvary(jnp.full((b, h, s_local), NEG_INF, jnp.float32),
-                         axis_name)
+    out0 = _pvary(jnp.zeros((b, s_local, h, d), jnp.float32), axis_name)
+    lse0 = _pvary(jnp.full((b, h, s_local), NEG_INF, jnp.float32), axis_name)
     # lax.scan (not fori_loop) so the ring is reverse-differentiable
     (out, lse, _, _, _), _ = jax.lax.scan(
         step, (out0, lse0, k, v, kv_mask), jnp.arange(n))
