@@ -207,7 +207,6 @@ def generate(
     rng = np.random.default_rng(seed)
     generated: List[List[int]] = [[] for _ in range(b)]
     done = [False] * b
-    cur = None
     for step in range(gen.max_new_tokens):
         lg = np.array(logits, np.float32)
         lg = _apply_repetition_penalty(lg, generated, gen.repetition_penalty)
@@ -366,7 +365,8 @@ def beam_search(
                 next_tokens.append(ids[-1])
             if len(new_beams) == k:
                 break
-        if len(finished) >= k or not new_beams:
+        if len(finished) >= k or not new_beams or step + 1 == gen.max_new_tokens:
+            beams = new_beams or beams
             break
         while len(new_beams) < k:  # degenerate: pad with copies
             new_beams.append(new_beams[-1])
