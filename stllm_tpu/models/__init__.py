@@ -3,6 +3,30 @@
 ModelZoo table at :27-200)."""
 
 from stllm_tpu.models import zoo as _zoo  # noqa: F401  (registry side effect)
+from stllm_tpu.models.generation import GenerationConfig, beam_search, generate  # noqa: F401
+from stllm_tpu.models.llama import (  # noqa: F401
+    VICUNA_7B,
+    KVCache,
+    LlamaConfig,
+    init_llama,
+    llama_forward,
+    lm_head,
+)
+from stllm_tpu.models.lora import add_lora, merge_lora  # noqa: F401
+from stllm_tpu.models.qformer import (  # noqa: F401
+    INSTRUCT_BLIP_QFORMER,
+    QFormerConfig,
+    init_qformer,
+    qformer_forward,
+)
+from stllm_tpu.models.stllm import (  # noqa: F401
+    STLLMConfig,
+    encode_img,
+    encode_video_for_inference,
+    init_stllm,
+    stllm_forward,
+)
+from stllm_tpu.models.vit import EVA_VIT_G, ViTConfig, init_vit, vit_forward  # noqa: F401
 from stllm_tpu.models.zoo import (  # noqa: F401
     STLLM,
     build_stllm_config,
