@@ -128,6 +128,40 @@ def test_reader_table():
     assert set(VIDEO_READER_FUNCS) >= {"decord", "av", "gif", "rawframe"}
 
 
+@pytest.mark.skipif(not native_available(), reason="libvideodec.so not built")
+def test_native_rejects_garbage(tmp_path):
+    bad = tmp_path / "not_a_video.mp4"
+    bad.write_bytes(b"this is not an mp4 at all" * 100)
+    with pytest.raises(IOError):
+        NativeVideoReader(str(bad))
+    with pytest.raises(IOError):
+        NativeVideoReader(str(tmp_path / "missing.mp4"))
+
+
+@pytest.mark.skipif(not native_available(), reason="libvideodec.so not built")
+def test_native_truncated_file(mp4, tmp_path):
+    data = open(mp4, "rb").read()
+    trunc = tmp_path / "trunc.mp4"
+    trunc.write_bytes(data[: len(data) // 3])
+    # either fails to open or opens with fewer frames — must not crash
+    try:
+        vr = NativeVideoReader(str(trunc))
+        n = len(vr)
+        if n > 0:
+            vr.get_batch([0, n - 1])
+        vr.close()
+    except IOError:
+        pass
+
+
+@pytest.mark.skipif(not native_available(), reason="libvideodec.so not built")
+def test_native_out_of_range_index(mp4):
+    vr = NativeVideoReader(mp4)
+    with pytest.raises(IOError):
+        vr.get_batch([len(vr) + 5])
+    vr.close()
+
+
 def test_reference_example_video():
     path = "/root/reference/example/monkey.mp4"
     if not os.path.exists(path):
