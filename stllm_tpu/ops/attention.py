@@ -461,6 +461,155 @@ def _core_bwd(causal, scale, block_q, block_k, interpret, res, g):
 _flash_attention_core.defvjp(_core_fwd, _core_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Pallas fused short-sequence attention (scores never touch HBM)
+# ---------------------------------------------------------------------------
+#
+# For SHORT sequences (the ViT's 257 tokens, LLaMA prefill < 1024) the flash
+# recurrence is overkill: the whole (Sq, Sk) score matrix fits in VMEM, so a
+# single-pass kernel computes softmax(QK^T)V per (batch*head) grid step with
+# ZERO intermediate HBM traffic. The XLA path materializes the bf16 score and
+# weight tensors in HBM (B*H*S*S bytes each, written+read per layer); for the
+# 64-frame ViT-g encode that is ~0.5 GB/layer of avoidable traffic. Numerics
+# match mha_reference exactly: matmuls run in the input dtype with fp32
+# accumulation, softmax statistics in fp32.
+
+def _fused_short_kernel(q_ref, k_ref, v_ref, kvm_ref, o_ref,
+                        *, causal: bool, scale: float, has_kv_mask: bool,
+                        heads: int, head_dim: int):
+    sq = q_ref.shape[1]
+    sk = k_ref.shape[1]
+    if causal:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0) + (sk - sq)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        causal_ok = ki <= qi
+    if has_kv_mask:
+        kv_valid = kvm_ref[0] > 0                        # (1, Sk)
+    q = q_ref[0]                                         # (Sq, H*D) packed
+    k = k_ref[0]
+    v = v_ref[0]
+    # statically unrolled per-head loop; heads live on the LANE axis of the
+    # packed block, so the only data movement is VMEM lane slicing — the
+    # (B,S,H,D)->(B,H,S,D) HBM transpose the XLA path materializes is gone
+    for h in range(heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                        # (Sq, Sk) fp32
+        if has_kv_mask:
+            s = jnp.where(kv_valid, s, NEG_INF)
+        if causal:
+            s = jnp.where(causal_ok, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, :, sl] = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _pick_head_chunk(h: int, d: int, sq: int, sk: int, itemsize: int) -> int:
+    # Largest head count per grid step whose q/k/v/o tiles (double-buffered)
+    # plus the fp32 score tile stay within ~10 MB of VMEM. A chunk smaller
+    # than all heads must keep the lane block 128-aligned (Pallas requires
+    # block lane dims divisible by 128 unless they span the whole array).
+    # Returns 0 if no valid chunking fits (caller falls back to XLA).
+    budget = 10 * 1024 * 1024 - sq * sk * 4
+    for hc in range(h, 0, -1):
+        if h % hc:
+            continue
+        if hc != h and (hc * d) % 128:
+            continue
+        tiles = (2 * sq + 2 * sk) * hc * d * itemsize * 2
+        if tiles <= budget:
+            return hc
+    return 0
+
+
+def _fused_short_impl(q, k, v, q_mask, kv_mask, causal, scale, interpret):
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    # pack heads onto lanes: (B, S, H, D) -> (B, S, H*D) is a free reshape
+    # (contiguous), unlike the fold-to-(B*H, S, D) transpose
+    qf = q.reshape(b, sq, h * d)
+    kf = k.reshape(b, sk, h * d)
+    vf = v.reshape(b, sk, h * d)
+    hc = _pick_head_chunk(h, d, sq, sk, q.dtype.itemsize)
+    if hc == 0:  # no VMEM-feasible 128-aligned head chunk at these shapes
+        return mha_reference(
+            q, k, v, causal=causal, q_mask=q_mask, kv_mask=kv_mask, scale=scale
+        )
+    kernel = functools.partial(
+        _fused_short_kernel, causal=causal, scale=scale,
+        has_kv_mask=kv_mask is not None, heads=hc, head_dim=d,
+    )
+    in_specs = [
+        pl.BlockSpec((1, sq, hc * d), lambda i, j: (i, 0, j)),
+        pl.BlockSpec((1, sk, hc * d), lambda i, j: (i, 0, j)),
+        pl.BlockSpec((1, sk, hc * d), lambda i, j: (i, 0, j)),
+    ]
+    operands = [qf, kf, vf]
+    if kv_mask is not None:
+        in_specs.append(pl.BlockSpec((1, 1, sk), lambda i, j: (i, 0, 0)))
+        operands.append(kv_mask.astype(jnp.int32)[:, None, :])
+    else:
+        # pallas needs a fixed operand list; pass a 1-element dummy the
+        # kernel never reads (has_kv_mask=False elides the where)
+        in_specs.append(pl.BlockSpec((1, 1, 1), lambda i, j: (0, 0, 0)))
+        operands.append(jnp.ones((1, 1, 1), jnp.int32))
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h // hc),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, sq, hc * d), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, h * d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    out = out.reshape(b, sq, h, d)
+    if q_mask is not None:
+        out = out * q_mask[:, :, None, None].astype(out.dtype)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_short_attention(q, k, v, q_mask, kv_mask, causal, scale, interpret):
+    return _fused_short_impl(q, k, v, q_mask, kv_mask, causal, scale, interpret)
+
+
+def _fused_short_fwd(q, k, v, q_mask, kv_mask, causal, scale, interpret):
+    out = _fused_short_impl(q, k, v, q_mask, kv_mask, causal, scale, interpret)
+    return out, (q, k, v, q_mask, kv_mask)
+
+
+def _fused_short_bwd(causal, scale, interpret, res, g):
+    # Short sequences: the O(S^2) XLA recompute backward is cheap and exactly
+    # matches mha_reference's vjp (which the parity tests pin down).
+    q, k, v, q_mask, kv_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: mha_reference(
+            q_, k_, v_, causal=causal, q_mask=q_mask, kv_mask=kv_mask,
+            scale=scale,
+        ),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+_fused_short_attention.defvjp(_fused_short_fwd, _fused_short_bwd)
+
+# largest (Sq, Sk) fp32 score tile the fused kernel is allowed to hold in
+# VMEM (1024^2 fp32 = 4 MB, comfortably under the ~16 MB budget with the
+# q/k/v/o tiles and double buffering)
+_FUSED_MAX_SCORE_ELEMS = 1024 * 1024
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -483,14 +632,26 @@ def flash_attention(
     d = q.shape[-1]
     scale = (d ** -0.5) if scale is None else scale
     if use_pallas is None:
-        # Pallas flash attention only pays off for LONG sequences: at short
-        # lengths (e.g. the ViT's 257 tokens) the custom call breaks XLA's
-        # fusion around it and measures ~30% slower on-chip than the plain
-        # XLA softmax(QK^T)V, while the quadratic memory it saves is
-        # negligible. Threshold measured on v5e (see bench history).
-        use_pallas = (
-            jax.default_backend() not in ("cpu",) and k.shape[1] >= 1024
-        )
+        # The FLASH kernel only pays off for LONG sequences: at short lengths
+        # (e.g. the ViT's 257 tokens) its recurrence/blocking overhead makes
+        # it ~30% slower on-chip than the plain XLA softmax(QK^T)V.
+        # Short sequences instead dispatch to the FUSED single-pass kernel
+        # (whole score matrix in VMEM, zero intermediate HBM traffic) when
+        # the score tile fits; thresholds measured on v5e.
+        on_tpu = jax.default_backend() not in ("cpu",)
+        if (
+            on_tpu
+            and k.shape[1] < 1024
+            and q.shape[1] * k.shape[1] <= _FUSED_MAX_SCORE_ELEMS
+            and _pick_head_chunk(
+                q.shape[2], q.shape[3], q.shape[1], k.shape[1],
+                q.dtype.itemsize,
+            ) > 0
+        ):
+            return _fused_short_attention(
+                q, k, v, q_mask, kv_mask, causal, scale, interpret
+            )
+        use_pallas = on_tpu and k.shape[1] >= 1024
     if not use_pallas:
         return mha_reference(
             q, k, v, causal=causal, q_mask=q_mask, kv_mask=kv_mask, scale=scale

@@ -87,6 +87,73 @@ def test_flash_bf16_io():
     )
 
 
+class TestFusedShortAttention:
+    """The single-pass short-sequence kernel (scores stay in VMEM)."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("shape", [(2, 257, 16, 88), (1, 96, 4, 32)])
+    def test_matches_reference(self, causal, shape):
+        from stllm_tpu.ops.attention import _fused_short_attention
+
+        b, s, h, d = shape
+        q, k, v = _qkv(jax.random.PRNGKey(10), b, s, h, d)
+        ref = mha_reference(q, k, v, causal=causal)
+        out = _fused_short_attention(
+            q, k, v, None, None, causal, d ** -0.5, True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+
+    def test_kv_mask_and_cross_shapes(self):
+        from stllm_tpu.ops.attention import _fused_short_attention
+
+        # Q-Former-style: short queries against longer keys, ragged kv mask
+        q, k, v = _qkv(jax.random.PRNGKey(11), 2, 33, 3, 88, sk=257)
+        kv_mask = jnp.arange(257)[None, :] < jnp.array([[100], [257]])
+        ref = mha_reference(q, k, v, kv_mask=kv_mask)
+        out = _fused_short_attention(
+            q, k, v, None, kv_mask, False, 88 ** -0.5, True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+
+    def test_gradients_match_reference(self):
+        from stllm_tpu.ops.attention import _fused_short_attention
+
+        q, k, v = _qkv(jax.random.PRNGKey(12), 1, 40, 2, 16)
+
+        def loss_fused(q, k, v):
+            return jnp.sum(
+                _fused_short_attention(
+                    q, k, v, None, None, True, 16 ** -0.5, True
+                ) ** 2
+            )
+
+        def loss_ref(q, k, v):
+            return jnp.sum(mha_reference(q, k, v, causal=True) ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-4, rtol=1e-4
+            )
+
+    def test_head_chunk_picker(self):
+        from stllm_tpu.ops.attention import _pick_head_chunk
+
+        # ViT-g shapes: all 16 heads fit one block (1408 lanes, 11*128)
+        assert _pick_head_chunk(16, 88, 257, 257, 2) == 16
+        # LLaMA-7B prefill: 32*128 lanes too big for VMEM, chunks align to 128
+        hc = _pick_head_chunk(32, 128, 608, 608, 2)
+        assert hc > 0 and (hc * 128) % 128 == 0 and 32 % hc == 0
+        # pathological: odd head_dim with heads that cannot chunk-align and
+        # whole-block too large -> 0 (dispatch falls back to XLA)
+        assert _pick_head_chunk(32, 88, 2048, 2048, 2) == 0
+
+
 def test_layer_norm_matches_torch():
     torch = pytest.importorskip("torch")
     x = np.random.RandomState(0).randn(4, 16).astype(np.float32)
