@@ -1,0 +1,86 @@
+"""Full-pipeline MVBench-style QA latency on ONE chip (p50, ms).
+
+One QA = 16-frame encode (EVA-ViT-g + Q-Former + llama_proj) -> prompt
+assembly (system/question text around the 16*32 video tokens, 608 total)
+-> Vicuna-7B prefill -> 16-token greedy answer. This mirrors the reference's
+per-sample MVBench loop (reference: stllm/test/mvbench/mv_bench.py:229-283 —
+encode_img, option prompt, do_sample=False generate), with random weights
+(latency is weight-value independent).
+
+Run: python script/bench_pipeline.py   (needs the real TPU chip; the whole
+bf16 stack is ~15.9 GB so it fits a single v5e-16GB with the KV cache).
+Prints one JSON line. Not the headline bench — see bench.py for that.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stllm_tpu.models.generation import GenerationConfig, generate
+from stllm_tpu.models.stllm import STLLMConfig, encode_img, init_stllm
+from stllm_tpu.models.vit import EVA_VIT_G
+
+FRAMES = 16
+PREFIX_TOKENS = 64   # system + question text before the video
+SUFFIX_TOKENS = 32   # options + "Best option:(" after the video
+ANSWER_TOKENS = 16
+ITERS = 9
+
+
+def main():
+    cfg = STLLMConfig(vit=dataclasses.replace(EVA_VIT_G, gelu_approx=True))
+    params = init_stllm(jax.random.PRNGKey(0), cfg, init_llama_params=True)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 256, (1, FRAMES, cfg.vit.image_size, cfg.vit.image_size, 3)),
+        jnp.uint8,
+    )
+    q_ids = jnp.asarray(rng.integers(0, cfg.qformer.vocab_size, (1, 16)), jnp.int32)
+    q_mask = jnp.ones((1, 16), jnp.int32)
+    d = cfg.llama.hidden
+    prefix = jnp.asarray(rng.normal(size=(1, PREFIX_TOKENS, d)) * 0.02, cfg.llama.dtype)
+    suffix = jnp.asarray(rng.normal(size=(1, SUFFIX_TOKENS, d)) * 0.02, cfg.llama.dtype)
+
+    @jax.jit
+    def encode(params, frames, q_ids, q_mask):
+        vid = encode_img(params, frames, cfg, q_ids, q_mask)  # (1,T,32,d)
+        return vid.reshape(1, -1, d)
+
+    gen = GenerationConfig(max_new_tokens=ANSWER_TOKENS, stop_sequences=(),
+                           eos_token_id=-1)
+
+    def one_qa():
+        vid = encode(params, frames, q_ids, q_mask)
+        embeds = jnp.concatenate([prefix, vid, suffix], axis=1)  # (1, 608, d)
+        return generate(params["llama"], embeds, llama_cfg=cfg.llama, gen=gen)
+
+    one_qa()  # compile + warmup
+    one_qa()
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        out = one_qa()
+        times.append((time.perf_counter() - t0) * 1000)
+    assert len(out[0]) == ANSWER_TOKENS
+    p50 = float(np.percentile(times, 50))
+    print(json.dumps({
+        "metric": "p50 e2e latency per MVBench QA (16-frame encode + 608-token "
+                  "prefill + 16-token greedy, one chip)",
+        "value": round(p50, 1),
+        "unit": "ms",
+        "all_ms": [round(t, 1) for t in times],
+    }))
+
+
+if __name__ == "__main__":
+    main()

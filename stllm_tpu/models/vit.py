@@ -85,6 +85,25 @@ def init_vit(rng: jax.Array, cfg: ViTConfig) -> Dict:
     return params
 
 
+def quantize_vit_params(params: Dict) -> Dict:
+    """Inference-time W8A8 conversion (ops/quant.py): every block matmul
+    (qkv, proj, fc1, fc2) becomes a fused dynamic-quant int8 matmul on TPU.
+    Patch embed / norms / pos-embed stay in the dense dtype (tiny or
+    precision-critical). The reference has no quantization (fp16 ViT,
+    eva_vit.py:440-442) — this is a TPU-native extension; use for encode
+    serving where ~2x MXU throughput is worth ~1% feature drift."""
+    from stllm_tpu.ops.quant import quantize_linear_params
+
+    out = dict(params)
+    out["blocks"] = []
+    for blk in params["blocks"]:
+        b = dict(blk)
+        for name in ("qkv", "proj", "fc1", "fc2"):
+            b[name] = quantize_linear_params(blk[name])
+        out["blocks"].append(b)
+    return out
+
+
 def patchify(images: jax.Array, patch: int) -> jax.Array:
     """(B, H, W, C) -> (B, h*w, patch*patch*C), row-major patches.
 
@@ -104,7 +123,9 @@ def _attention(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
     qkv_bias = jnp.concatenate(
         [block["q_bias"], jnp.zeros_like(block["q_bias"]), block["v_bias"]]
     )
-    qkv = jnp.dot(x, block["qkv"]["w"].astype(x.dtype)) + qkv_bias.astype(x.dtype)
+    qkv_p = dict(block["qkv"])
+    qkv_p["b"] = qkv_bias  # k bias fixed at zero (reference: eva_vit.py:79-87)
+    qkv = linear(qkv_p, x)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, n, cfg.heads, cfg.head_dim)
     k = k.reshape(b, n, cfg.heads, cfg.head_dim)

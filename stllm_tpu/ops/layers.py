@@ -20,6 +20,10 @@ import jax.numpy as jnp
 
 
 def linear(params, x: jax.Array) -> jax.Array:
+    if "w_q" in params:  # int8-quantized (see ops/quant.py) — inference path
+        from stllm_tpu.ops.quant import quant_linear
+
+        return quant_linear(params, x)
     y = jnp.dot(x, params["w"].astype(x.dtype))
     b = params.get("b")
     if b is not None:

@@ -154,6 +154,81 @@ class TestFusedShortAttention:
         assert _pick_head_chunk(32, 88, 2048, 2048, 2) == 0
 
 
+class TestQuantMatmul:
+    """Fused W8A8 dynamic-quant matmul (ops/quant.py)."""
+
+    def test_pallas_kernel_matches_reference(self):
+        from stllm_tpu.ops.quant import (
+            quant_matmul_pallas, quant_matmul_pallas_reference,
+            quantize_weights)
+
+        rng = jax.random.PRNGKey(20)
+        k1, k2 = jax.random.split(rng)
+        x = jax.random.normal(k1, (2, 64, 256), jnp.float32)
+        w = jax.random.normal(k2, (256, 384), jnp.float32)
+        w_q, ws = quantize_weights(w)
+        ref = quant_matmul_pallas_reference(x, w_q, ws)
+        out = quant_matmul_pallas(x, w_q, ws, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+    def test_quant_error_vs_dense(self):
+        from stllm_tpu.ops.quant import quant_matmul, quantize_weights
+
+        rng = jax.random.PRNGKey(21)
+        k1, k2 = jax.random.split(rng)
+        x = jax.random.normal(k1, (1, 128, 512), jnp.float32)
+        w = jax.random.normal(k2, (512, 256), jnp.float32)
+        w_q, ws = quantize_weights(w)
+        q = np.asarray(quant_matmul(x, w_q, ws), np.float32)
+        d = np.asarray(x @ w, np.float32)
+        rel = np.abs(q - d).mean() / np.abs(d).mean()
+        assert rel < 0.02, rel  # per-row dynamic int8 stays ~1%
+
+    def test_xla_and_pallas_paths_agree(self):
+        from stllm_tpu.ops.quant import (
+            quant_matmul, quant_matmul_pallas, quantize_weights)
+
+        rng = jax.random.PRNGKey(25)
+        k1, k2 = jax.random.split(rng)
+        # K below the pallas k-block so both paths quantize per full row
+        x = jax.random.normal(k1, (2, 16, 384), jnp.float32)
+        w = jax.random.normal(k2, (384, 256), jnp.float32)
+        w_q, ws = quantize_weights(w)
+        a = np.asarray(quant_matmul(x, w_q, ws), np.float32)
+        b = np.asarray(quant_matmul_pallas(x, w_q, ws, interpret=True),
+                       np.float32)
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+    def test_quant_linear_bias_and_nd(self):
+        from stllm_tpu.ops.quant import quant_linear, quantize_linear_params
+
+        rng = jax.random.PRNGKey(22)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        p = {"w": jax.random.normal(k1, (256, 128), jnp.float32),
+             "b": jax.random.normal(k2, (128,), jnp.float32)}
+        pq = quantize_linear_params(p)
+        x = jax.random.normal(k3, (2, 4, 8, 256), jnp.float32)
+        out = quant_linear(pq, x)
+        assert out.shape == (2, 4, 8, 128)
+        dense = x @ p["w"] + p["b"]
+        rel = float(jnp.abs(out - dense).mean() / jnp.abs(dense).mean())
+        assert rel < 0.02, rel
+
+    def test_quantized_vit_forward_drift(self):
+        from stllm_tpu.models.vit import (
+            ViTConfig, init_vit, quantize_vit_params, vit_forward)
+
+        cfg = ViTConfig(image_size=56, patch_size=14, width=256, depth=2,
+                        heads=4, mlp_hidden=512, dtype=jnp.float32)
+        params = init_vit(jax.random.PRNGKey(23), cfg)
+        imgs = jax.random.normal(jax.random.PRNGKey(24), (2, 56, 56, 3))
+        dense = vit_forward(params, imgs, cfg)
+        qout = vit_forward(quantize_vit_params(params), imgs, cfg)
+        rel = float(jnp.abs(qout - dense).mean() / jnp.abs(dense).mean())
+        assert rel < 0.02, rel
+
+
 def test_layer_norm_matches_torch():
     torch = pytest.importorskip("torch")
     x = np.random.RandomState(0).randn(4, 16).astype(np.float32)
