@@ -36,8 +36,16 @@ ITERS = 9
 
 
 def main():
+    int8 = "--int8" in sys.argv  # opt-in W8A8 ViT + LLaMA (see ops/quant.py)
     cfg = STLLMConfig(vit=dataclasses.replace(EVA_VIT_G, gelu_approx=True))
     params = init_stllm(jax.random.PRNGKey(0), cfg, init_llama_params=True)
+    if int8:
+        from stllm_tpu.models.llama import quantize_llama_params
+        from stllm_tpu.models.vit import quantize_vit_params
+
+        # free_dense: dense+quantized 7B both resident would OOM a 16GB chip
+        params["vit"] = quantize_vit_params(params["vit"], free_dense=True)
+        params["llama"] = quantize_llama_params(params["llama"], free_dense=True)
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
@@ -75,7 +83,8 @@ def main():
     p50 = float(np.percentile(times, 50))
     print(json.dumps({
         "metric": "p50 e2e latency per MVBench QA (16-frame encode + 608-token "
-                  "prefill + 16-token greedy, one chip)",
+                  "prefill + 16-token greedy, one chip)"
+                  + (" [int8 W8A8]" if int8 else ""),
         "value": round(p50, 1),
         "unit": "ms",
         "all_ms": [round(t, 1) for t in times],

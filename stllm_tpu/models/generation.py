@@ -96,8 +96,14 @@ def _decode_step_topk_prefix(params, token_ids, prefix: KVCache,
     (B, vocab) logits."""
     from stllm_tpu.models.llama import llama_decode_prefix
 
-    gen_cache = KVCache(k=gen_cache.k[:, reorder], v=gen_cache.v[:, reorder],
-                        length=gen_cache.length[reorder])
+    gen_cache = KVCache(
+        k=gen_cache.k[:, reorder], v=gen_cache.v[:, reorder],
+        length=gen_cache.length[reorder],
+        k_scale=None if gen_cache.k_scale is None
+        else gen_cache.k_scale[:, reorder],
+        v_scale=None if gen_cache.v_scale is None
+        else gen_cache.v_scale[:, reorder],
+    )
     embeds = params["embed_tokens"][token_ids][:, None].astype(cfg.dtype)
     hidden, gen_cache = llama_decode_prefix(params, embeds, prefix, gen_cache, cfg)
     logits = lm_head(params, hidden)[:, 0]

@@ -41,6 +41,8 @@ class LlamaConfig:
     dtype: Any = jnp.bfloat16
     remat: bool = False
     use_flash: Optional[bool] = None
+    # int8 KV cache (see KVCache docstring) — inference-only memory saver
+    kv_int8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -52,22 +54,50 @@ VICUNA_7B = LlamaConfig()
 
 class KVCache(NamedTuple):
     """Static-shape KV cache: k/v are (layers, B, max_len, heads, head_dim);
-    ``length`` is the number of valid positions (per batch row)."""
+    ``length`` is the number of valid positions (per batch row).
+
+    int8 mode (``cfg.kv_int8``): k/v hold per-(token, head) symmetric int8
+    values and ``k_scale``/``v_scale`` (layers, B, max_len, heads) fp32 hold
+    the scales — cache memory drops ~2x (long-video contexts, beam fan-out,
+    batched serving), at int8-rounding noise on attention only. The
+    reference has no KV-cache compression (HF fp16 cache)."""
 
     k: jax.Array
     v: jax.Array
     length: jax.Array  # (B,) int32
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
                   dtype=None) -> KVCache:
-    dtype = dtype or cfg.dtype
     shape = (cfg.num_layers, batch, max_len, cfg.heads, cfg.head_dim)
+    if cfg.kv_int8:
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            length=jnp.zeros((batch,), jnp.int32),
+            k_scale=jnp.ones(shape[:-1], jnp.float32),
+            v_scale=jnp.ones(shape[:-1], jnp.float32),
+        )
+    dtype = dtype or cfg.dtype
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
         length=jnp.zeros((batch,), jnp.int32),
     )
+
+
+def _quant_kv(x: jax.Array):
+    """(..., D) -> per-(...)-row int8 values + fp32 scales (...,)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+    return jnp.round(xf / scale).astype(jnp.int8), scale[..., 0]
+
+
+def _dequant_kv(q: jax.Array, scale: jax.Array, dtype) -> jax.Array:
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 def init_llama(rng: jax.Array, cfg: LlamaConfig) -> Dict:
@@ -128,21 +158,38 @@ def _layer(
     else:
         # decode / prefill-into-cache: write new k/v at each row's offset, then
         # attend causally against absolute positions (kv_pos <= cache_len + i).
-        ck, cv = cache_kv  # (B, max_len, H, D)
+        quantized = len(cache_kv) == 4
+        if quantized:
+            ck, cv, cks, cvs = cache_kv  # int8 values + (B, max_len, H) scales
+        else:
+            ck, cv = cache_kv            # (B, max_len, H, D)
 
         def write(c, new):
             def row(c_row, new_row, off):
                 return jax.lax.dynamic_update_slice(c_row, new_row.astype(c_row.dtype), (off, 0, 0))
             return jax.vmap(row)(c, new, cache_len)
 
-        ck = write(ck, k)
-        cv = write(cv, v)
+        if quantized:
+            kq, ks = _quant_kv(k)
+            vq, vs = _quant_kv(v)
+            ck, cv = write(ck, kq), write(cv, vq)
+
+            def write_scale(c, new):
+                def row(c_row, new_row, off):
+                    return jax.lax.dynamic_update_slice(c_row, new_row, (off, 0))
+                return jax.vmap(row)(c, new, cache_len)
+
+            cks, cvs = write_scale(cks, ks), write_scale(cvs, vs)
+            ak, av = _dequant_kv(ck, cks, x.dtype), _dequant_kv(cv, cvs, x.dtype)
+        else:
+            ck, cv = write(ck, k), write(cv, v)
+            ak, av = ck, cv
         max_len = ck.shape[1]
         kv_pos = jnp.arange(max_len)[None, None, :]                    # (1,1,max)
         q_abs = cache_len[:, None, None] + jnp.arange(s)[None, :, None]  # (B,s,1)
         mask = kv_pos <= q_abs
-        out = mha_reference(q, ck, cv, mask=mask)
-        new_cache = (ck, cv)
+        out = mha_reference(q, ak, av, mask=mask)
+        new_cache = (ck, cv, cks, cvs) if quantized else (ck, cv)
 
     out = linear(layer["o"], out.reshape(b, s, d))
     x = x + out
@@ -179,13 +226,20 @@ def llama_forward(
         else:
             positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
 
-    new_k, new_v = [], []
+    quantized = cache is not None and cache.k_scale is not None
+    new_k, new_v, new_ks, new_vs = [], [], [], []
     layer_fn = _layer
     if cfg.remat:
         layer_fn = jax.checkpoint(_layer, static_argnums=(6,))
 
     for i, layer in enumerate(params["layers"]):
-        cache_kv = (cache.k[i], cache.v[i]) if cache is not None else None
+        if cache is None:
+            cache_kv = None
+        elif quantized:
+            cache_kv = (cache.k[i], cache.v[i],
+                        cache.k_scale[i], cache.v_scale[i])
+        else:
+            cache_kv = (cache.k[i], cache.v[i])
         x, updated = layer_fn(
             layer, x, cos, sin, positions, attention_mask, cfg,
             cache_kv, cache.length if cache is not None else None,
@@ -193,6 +247,9 @@ def llama_forward(
         if cache is not None:
             new_k.append(updated[0])
             new_v.append(updated[1])
+            if quantized:
+                new_ks.append(updated[2])
+                new_vs.append(updated[3])
 
     x = rms_norm(params["norm"], x, cfg.rms_eps)
     new_cache = None
@@ -203,7 +260,10 @@ def llama_forward(
             else jnp.full((b,), s, jnp.int32)
         )
         new_cache = KVCache(
-            k=jnp.stack(new_k), v=jnp.stack(new_v), length=cache.length + valid
+            k=jnp.stack(new_k), v=jnp.stack(new_v),
+            length=cache.length + valid,
+            k_scale=jnp.stack(new_ks) if quantized else None,
+            v_scale=jnp.stack(new_vs) if quantized else None,
         )
     return x, new_cache
 
@@ -238,7 +298,8 @@ def llama_decode_prefix(
     mask_p = (jnp.arange(s_p) < prefix_len)[None, None, None, :]    # (1,1,1,S)
     mask_g = jnp.arange(g_max)[None, :] <= gen.length[:, None]      # (B,G)
 
-    new_k, new_v = [], []
+    quantized = prefix.k_scale is not None
+    new_k, new_v, new_ks, new_vs = [], [], [], []
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(layer["input_norm"], x, cfg.rms_eps)
         q = apply_lora(layer, "q", h, linear(layer["q"], h))
@@ -249,19 +310,36 @@ def llama_decode_prefix(
         q = apply_rope(q, cos, sin, positions)
         k = apply_rope(k, cos, sin, positions)
 
+        if quantized:
+            k, ks = _quant_kv(k)
+            v, vs = _quant_kv(v)
+
         gk = jax.vmap(lambda c, n, off: jax.lax.dynamic_update_slice(
             c, n.astype(c.dtype), (off, 0, 0)))(gen.k[i], k, gen.length)
         gv = jax.vmap(lambda c, n, off: jax.lax.dynamic_update_slice(
             c, n.astype(c.dtype), (off, 0, 0)))(gen.v[i], v, gen.length)
         new_k.append(gk)
         new_v.append(gv)
+        if quantized:
+            gks = jax.vmap(lambda c, n, off: jax.lax.dynamic_update_slice(
+                c, n, (off, 0)))(gen.k_scale[i], ks, gen.length)
+            gvs = jax.vmap(lambda c, n, off: jax.lax.dynamic_update_slice(
+                c, n, (off, 0)))(gen.v_scale[i], vs, gen.length)
+            new_ks.append(gks)
+            new_vs.append(gvs)
+            pk_i = _dequant_kv(prefix.k[i], prefix.k_scale[i], x.dtype)
+            pv_i = _dequant_kv(prefix.v[i], prefix.v_scale[i], x.dtype)
+            gk_i = _dequant_kv(gk, gks, x.dtype)
+            gv_i = _dequant_kv(gv, gvs, x.dtype)
+        else:
+            pk_i, pv_i, gk_i, gv_i = prefix.k[i], prefix.v[i], gk, gv
 
         # (B, H, 1, S_p) + (B, H, 1, G): one softmax over both segments
         qt = q.transpose(0, 2, 1, 3)
-        pk = prefix.k[i].transpose(0, 2, 1, 3)          # (1, H, S_p, D)
-        pv = prefix.v[i].transpose(0, 2, 1, 3)
-        gkt = gk.transpose(0, 2, 1, 3)
-        gvt = gv.transpose(0, 2, 1, 3)
+        pk = pk_i.transpose(0, 2, 1, 3)                 # (1, H, S_p, D)
+        pv = pv_i.transpose(0, 2, 1, 3)
+        gkt = gk_i.transpose(0, 2, 1, 3)
+        gvt = gv_i.transpose(0, 2, 1, 3)
         scale = cfg.head_dim ** -0.5
         s_pfx = (jnp.einsum("bhqd,phkd->bhqk", qt, pk) * scale).astype(jnp.float32)
         s_gen = (jnp.einsum("bhqd,bhkd->bhqk", qt, gkt) * scale).astype(jnp.float32)
@@ -280,8 +358,36 @@ def llama_decode_prefix(
 
     x = rms_norm(params["norm"], x, cfg.rms_eps)
     new_gen = KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v),
-                      length=gen.length + 1)
+                      length=gen.length + 1,
+                      k_scale=jnp.stack(new_ks) if quantized else None,
+                      v_scale=jnp.stack(new_vs) if quantized else None)
     return x, new_gen
+
+
+def quantize_llama_params(params: Dict, free_dense: bool = False) -> Dict:
+    """Inference-time W8A8 conversion (ops/quant.py) of every decoder-layer
+    matmul (q/k/v/o/gate/up/down — 96% of weight bytes on 7B). Embeddings,
+    lm_head and norms stay dense: the head drives token choice directly and
+    is kept at full precision (standard int8-LLM practice). Decode is
+    weight-bandwidth-bound, so halving weight bytes is a direct latency win;
+    prefill additionally gets the ~1.65x int8 MXU rate. The reference has no
+    quantization (fp16 HF LLaMA; its 4/8-bit hooks are unused plumbing,
+    reference: stllm/train/train_hf.py:238-241).
+
+    ``free_dense=True`` deletes each dense weight buffer as soon as its
+    quantized copy exists — required to convert a 7B tree in place on a
+    16 GB chip (dense+quantized both resident would OOM). The input tree is
+    unusable afterwards."""
+    from stllm_tpu.ops.quant import quantize_linear_params
+
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        l = dict(layer)
+        for name in ("q", "k", "v", "o", "gate", "up", "down"):
+            l[name] = quantize_linear_params(layer[name], free_dense=free_dense)
+        out["layers"].append(l)
+    return out
 
 
 def lm_head(params: Dict, hidden: jax.Array) -> jax.Array:

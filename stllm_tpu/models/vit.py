@@ -85,7 +85,7 @@ def init_vit(rng: jax.Array, cfg: ViTConfig) -> Dict:
     return params
 
 
-def quantize_vit_params(params: Dict) -> Dict:
+def quantize_vit_params(params: Dict, free_dense: bool = False) -> Dict:
     """Inference-time W8A8 conversion (ops/quant.py): every block matmul
     (qkv, proj, fc1, fc2) becomes a fused dynamic-quant int8 matmul on TPU.
     Patch embed / norms / pos-embed stay in the dense dtype (tiny or
@@ -99,7 +99,7 @@ def quantize_vit_params(params: Dict) -> Dict:
     for blk in params["blocks"]:
         b = dict(blk)
         for name in ("qkv", "proj", "fc1", "fc2"):
-            b[name] = quantize_linear_params(blk[name])
+            b[name] = quantize_linear_params(blk[name], free_dense=free_dense)
         out["blocks"].append(b)
     return out
 

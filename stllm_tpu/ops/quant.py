@@ -70,13 +70,18 @@ def quant_matmul(x: jax.Array, w_q: jax.Array, w_scale: jax.Array) -> jax.Array:
     return (y * x_scale * w_scale.astype(jnp.float32)).astype(x.dtype)
 
 
-def quantize_linear_params(params: Dict) -> Dict:
+def quantize_linear_params(params: Dict, free_dense: bool = False) -> Dict:
     """Convert a dense linear param dict {'w': (K,N), 'b': (N,)?} into the
-    quantized form used by ``quant_linear``."""
+    quantized form used by ``quant_linear``. ``free_dense=True`` deletes the
+    dense weight's device buffer once quantized (in-place conversion of
+    trees too large for dense+quantized to coexist on one chip)."""
     w_q, scale = quantize_weights(params["w"])
+    w_q = jax.block_until_ready(w_q)
     out = {"w_q": w_q, "w_scale": scale}
     if "b" in params and params["b"] is not None:
         out["b"] = params["b"]
+    if free_dense and isinstance(params["w"], jax.Array):
+        params["w"].delete()
     return out
 
 

