@@ -139,3 +139,25 @@ def test_load_model_and_preprocess():
     img = np.random.default_rng(0).integers(0, 256, (64, 64, 3)).astype(np.uint8)
     out = vis["eval"](img)
     assert out.shape[-1] == 3
+
+
+def test_quant_int8_config_key():
+    """model.quant_int8 converts ViT + LLaMA matmuls to W8A8 at load time;
+    llama.kv_int8 flows through to the decode cache config."""
+    cfg_dict = dict(TINY_MODEL_CFG)
+    cfg_dict["quant_int8"] = True
+    cfg_dict["llama"] = dict(TINY_MODEL_CFG["llama"], kv_int8=True)
+    model = STLLM.from_config(cfg_dict)
+    blk = model.params["vit"]["blocks"][0]
+    assert "w_q" in blk["qkv"] and blk["qkv"]["w_q"].dtype == jnp.int8
+    lyr = model.params["llama"]["layers"][0]
+    assert "w_q" in lyr["gate"] and lyr["gate"]["w_q"].dtype == jnp.int8
+    # lm_head and embeddings stay dense
+    assert "w" in model.params["llama"]["lm_head"]
+    assert model.cfg.llama.kv_int8
+    # forward still runs end-to-end (tiny encode)
+    frames = jnp.zeros((1, 2, 28, 28, 3), jnp.float32)
+    from stllm_tpu.models.stllm import encode_img
+
+    out = encode_img(model.params, frames, model.cfg)
+    assert out.shape[0] == 1
