@@ -134,7 +134,42 @@ def _attention(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
     return linear(block["proj"], out.reshape(b, n, d))
 
 
+def _vit_block_quant(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """Quantized-block forward with producer-fused activation quantization:
+    LayerNorm and GELU emit int8 + per-row scales directly (ops/quant.py),
+    skipping the bf16 intermediate + two extra HBM passes per matmul that
+    the generic quant_linear path pays. Same math as layer_norm/gelu
+    followed by quantize_activations (the fused kernels quantize the fp32
+    producer output, so precision is equal-or-better)."""
+    from stllm_tpu.ops.quant import (
+        gelu_quant, layer_norm_quant, quant_matmul_pre, quantize_activations)
+
+    b, n, d = x.shape
+    hq, hs = layer_norm_quant(block["norm1"], x, cfg.ln_eps)
+    qkv_bias = jnp.concatenate(
+        [block["q_bias"], jnp.zeros_like(block["q_bias"]), block["v_bias"]]
+    )
+    qkv = quant_matmul_pre(hq, hs, {**block["qkv"], "b": qkv_bias}, x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    out = flash_attention(
+        q.reshape(b, n, cfg.heads, cfg.head_dim),
+        k.reshape(b, n, cfg.heads, cfg.head_dim),
+        v.reshape(b, n, cfg.heads, cfg.head_dim),
+        use_pallas=cfg.use_flash,
+    )
+    oq, os_ = quantize_activations(out.reshape(b, n, d))
+    x = x + quant_matmul_pre(oq, os_, block["proj"], x.dtype)
+
+    hq, hs = layer_norm_quant(block["norm2"], x, cfg.ln_eps)
+    h = quant_matmul_pre(hq, hs, block["fc1"], x.dtype)
+    gq, gs = gelu_quant(h, approx=cfg.gelu_approx)
+    h = quant_matmul_pre(gq, gs, block["fc2"], x.dtype)
+    return x + h
+
+
 def vit_block(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
+    if "w_q" in block["fc1"]:  # int8 inference block (quantize_vit_params)
+        return _vit_block_quant(block, x, cfg)
     x = x + _attention(block, layer_norm(block["norm1"], x, cfg.ln_eps), cfg)
     h = layer_norm(block["norm2"], x, cfg.ln_eps)
     act = jax.nn.gelu if cfg.gelu_approx else gelu

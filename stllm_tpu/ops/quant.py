@@ -193,3 +193,109 @@ def quant_matmul_pallas_reference(x: jax.Array, w_q: jax.Array,
         )
         acc = acc + part.astype(jnp.float32) * scale
     return (acc * w_scale.astype(jnp.float32)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Producer-fused activation quantization (Pallas)
+#
+# In the XLA-composed path the dynamic activation quant costs two extra HBM
+# passes per matmul (read for amax, read for quantize) over an activation the
+# producer just wrote in bf16 — measured ~19 ms of the 64-frame int8 ViT
+# encode. Every quantized ViT matmul input has exactly ONE consumer, so the
+# producer (LayerNorm or GELU) can emit int8 + per-row scales directly: one
+# read of the producer input, one int8 write, no bf16 intermediate.
+# ---------------------------------------------------------------------------
+
+def _rowwise_quant_emit(y, xq_ref, s_ref):
+    amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    s = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+    xq_ref[0] = jnp.round(y / s).astype(jnp.int8)
+    s_ref[0] = s
+
+
+def _ln_quant_kernel(x_ref, g_ref, b_ref, xq_ref, s_ref, *, eps: float):
+    x = x_ref[0].astype(jnp.float32)                     # (S, K)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+    _rowwise_quant_emit(y, xq_ref, s_ref)
+
+
+def _gelu_quant_kernel(x_ref, xq_ref, s_ref, *, approx: bool):
+    x = x_ref[0].astype(jnp.float32)
+    y = jax.nn.gelu(x, approximate=approx)
+    _rowwise_quant_emit(y, xq_ref, s_ref)
+
+
+def _rowwise_pallas(kernel, x3, extra, interpret):
+    # natural-batch tiling: block (1, S, K) over (B, S, K) — S spans its full
+    # dim so no divisor constraints; fp32 working tile budget ~8 MB
+    b, s, k = x3.shape
+    if s * k * 4 > 8 * 1024 * 1024:
+        return None
+    if jax.default_backend() == "cpu":
+        interpret = True
+    n_extra = len(extra)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, s, k), lambda i: (i, 0, 0))]
+        + [pl.BlockSpec((1, k), lambda i: (0, 0))] * n_extra,
+        out_specs=[
+            pl.BlockSpec((1, s, k), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, s, 1), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, k), jnp.int8),
+            jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(x3, *extra)
+
+
+def layer_norm_quant(params: Dict, x: jax.Array, eps: float = 1e-6,
+                     *, interpret: bool = False):
+    """Fused LayerNorm -> per-row int8. x: (B, S, K). Returns
+    (x_q int8 (B, S, K), scale fp32 (B, S, 1)). Matches
+    ops.layers.layer_norm followed by quantize_activations."""
+    out = _rowwise_pallas(
+        functools.partial(_ln_quant_kernel, eps=eps), x,
+        [params["scale"].reshape(1, -1), params["bias"].reshape(1, -1)],
+        interpret,
+    )
+    if out is None:  # working tile too large: unfused fallback
+        from stllm_tpu.ops.layers import layer_norm
+
+        return quantize_activations(layer_norm(params, x, eps))
+    return out
+
+
+def gelu_quant(x: jax.Array, *, approx: bool = False,
+               interpret: bool = False):
+    """Fused GELU -> per-row int8 (same contract as layer_norm_quant)."""
+    out = _rowwise_pallas(
+        functools.partial(_gelu_quant_kernel, approx=approx), x, [],
+        interpret,
+    )
+    if out is None:
+        return quantize_activations(jax.nn.gelu(x, approximate=approx))
+    return out
+
+
+def quant_matmul_pre(x_q: jax.Array, x_scale: jax.Array, params_q: Dict,
+                     out_dtype) -> jax.Array:
+    """int8 matmul on PRE-quantized activations (from layer_norm_quant /
+    gelu_quant): same convert-folded XLA dot + epilogue as quant_matmul."""
+    y = jax.lax.dot_general(
+        x_q.astype(jnp.bfloat16), params_q["w_q"].astype(jnp.bfloat16),
+        (((x_q.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = y * x_scale * params_q["w_scale"].astype(jnp.float32)
+    if "b" in params_q:
+        y = y + params_q["b"].astype(jnp.float32)
+    return y.astype(out_dtype)

@@ -215,6 +215,27 @@ class TestQuantMatmul:
         rel = float(jnp.abs(out - dense).mean() / jnp.abs(dense).mean())
         assert rel < 0.02, rel
 
+    def test_producer_fused_quant_kernels(self):
+        """layer_norm_quant / gelu_quant (Pallas) == unfused LN/GELU +
+        quantize_activations, bit-for-bit on the int8 values."""
+        from stllm_tpu.ops.layers import layer_norm
+        from stllm_tpu.ops.quant import (
+            gelu_quant, layer_norm_quant, quantize_activations)
+
+        rng = jax.random.PRNGKey(26)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        x = jax.random.normal(k1, (2, 64, 256), jnp.float32)
+        p = {"scale": jax.random.normal(k2, (256,), jnp.float32),
+             "bias": jax.random.normal(k3, (256,), jnp.float32)}
+        q1, s1 = layer_norm_quant(p, x, 1e-6, interpret=True)
+        q2, s2 = quantize_activations(layer_norm(p, x, 1e-6))
+        assert int(np.asarray(q1 != q2).sum()) == 0
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-7)
+        g1, gs1 = gelu_quant(x, approx=True, interpret=True)
+        g2, gs2 = quantize_activations(jax.nn.gelu(x, approximate=True))
+        assert int(np.asarray(g1 != g2).sum()) == 0
+        np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs2), atol=1e-7)
+
     def test_quantized_vit_forward_drift(self):
         from stllm_tpu.models.vit import (
             ViTConfig, init_vit, quantize_vit_params, vit_forward)
