@@ -112,13 +112,18 @@ class STLLM:
             params = add_lora(params, jax.random.PRNGKey(seed + 1), lora_r,
                               float(model_cfg.get("lora_alpha", 32)))
         if model_cfg.get("quant_int8", False):
-            # inference-only W8A8 (ops/quant.py): ViT blocks + LLaMA decoder
-            # matmuls become int8 (BTAdapter branch params stay dense).
-            # Pair with `llama: {kv_int8: true}` for an int8 KV cache.
+            # inference-only W8A8 (ops/quant.py): ViT blocks, Q-Former and
+            # LLaMA decoder matmuls become int8 (BTAdapter branch params and
+            # llama_proj — the direct producer of LLM input embeddings —
+            # stay dense). Pair with `llama: {kv_int8: true}` for an int8
+            # KV cache.
             from stllm_tpu.models.llama import quantize_llama_params
             from stllm_tpu.models.vit import quantize_vit_params
+            from stllm_tpu.ops.quant import quantize_tree_linears
 
             params["vit"] = quantize_vit_params(params["vit"], free_dense=True)
+            params["qformer"] = quantize_tree_linears(params["qformer"],
+                                                      free_dense=True)
             params["llama"] = quantize_llama_params(params["llama"],
                                                     free_dense=True)
         llama_tok = cls._load_llama_tokenizer(model_cfg.get("llama_model"))

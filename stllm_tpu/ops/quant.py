@@ -299,3 +299,17 @@ def quant_matmul_pre(x_q: jax.Array, x_scale: jax.Array, params_q: Dict,
     if "b" in params_q:
         y = y + params_q["b"].astype(jnp.float32)
     return y.astype(out_dtype)
+
+
+def quantize_tree_linears(tree, free_dense: bool = False):
+    """Recursively convert every linear param dict ({'w': 2-D array, ...})
+    in a pytree to W8A8 form. Non-linear leaves (norms, embeddings, biases)
+    pass through untouched."""
+    if isinstance(tree, dict):
+        w = tree.get("w")
+        if w is not None and getattr(w, "ndim", 0) == 2:
+            return quantize_linear_params(tree, free_dense=free_dense)
+        return {k: quantize_tree_linears(v, free_dense) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [quantize_tree_linears(v, free_dense) for v in tree]
+    return tree

@@ -152,6 +152,10 @@ def test_quant_int8_config_key():
     assert "w_q" in blk["qkv"] and blk["qkv"]["w_q"].dtype == jnp.int8
     lyr = model.params["llama"]["layers"][0]
     assert "w_q" in lyr["gate"] and lyr["gate"]["w_q"].dtype == jnp.int8
+    qf = model.params["qformer"]["layers"][0]
+    assert "w_q" in qf["attention"]["q"]
+    # embeddings stay dense arrays
+    assert model.params["qformer"]["query_tokens"].dtype != jnp.int8
     # lm_head and embeddings stay dense
     assert "w" in model.params["llama"]["lm_head"]
     assert model.cfg.llama.kv_int8
