@@ -231,3 +231,30 @@ def test_int8_kv_cache_decode(hf_and_jax):
                           pad_to_multiple=8)
     beam_q = generate(params, emb[:1], llama_cfg=cfg_q, gen=gb)
     assert len(beam_q[0]) >= 1
+
+
+def test_full_int8_stack_generates(hf_and_jax):
+    """Quantized weights AND int8 KV cache together (the serving config
+    `quant_int8: true` + `llama: {kv_int8: true}`) run the whole generate
+    loop and stay close to dense prefill logits."""
+    import dataclasses as dc
+
+    from stllm_tpu.models.llama import quantize_llama_params
+
+    _, params = hf_and_jax
+    pq = quantize_llama_params(params)
+    cfg_q = dc.replace(TINY, kv_int8=True)
+    emb = jax.random.normal(jax.random.PRNGKey(32), (1, 8, TINY.hidden)) * 0.1
+    mask = jnp.ones((1, 8), jnp.int32)
+    dense, _ = prefill_with_cache(params, emb, mask, 16, TINY)
+    quant, _ = prefill_with_cache(pq, emb, mask, 16, cfg_q)
+    ld = np.asarray(lm_head(params, dense), np.float32)
+    lq = np.asarray(lm_head(pq, quant), np.float32)
+    rel = np.abs(lq - ld).mean() / (np.abs(ld).mean() + 1e-9)
+    assert rel < 0.08, rel
+    out = generate(
+        pq, emb, llama_cfg=cfg_q,
+        gen=GenerationConfig(max_new_tokens=5, stop_sequences=(),
+                             pad_to_multiple=8),
+    )
+    assert len(out[0]) == 5
