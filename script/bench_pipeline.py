@@ -36,8 +36,11 @@ ITERS = 9
 
 
 def main():
-    int8 = "--int8" in sys.argv  # opt-in W8A8 ViT + LLaMA (see ops/quant.py)
+    int8 = "--int8" in sys.argv  # opt-in W8A8 ViT + LLaMA + int8 KV cache
     cfg = STLLMConfig(vit=dataclasses.replace(EVA_VIT_G, gelu_approx=True))
+    if int8:
+        cfg = dataclasses.replace(
+            cfg, llama=dataclasses.replace(cfg.llama, kv_int8=True))
     params = init_stllm(jax.random.PRNGKey(0), cfg, init_llama_params=True)
     if int8:
         from stllm_tpu.models.llama import quantize_llama_params
