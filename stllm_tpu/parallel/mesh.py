@@ -51,7 +51,17 @@ def make_mesh(
     if data is None:
         assert n % model == 0, f"{n} devices not divisible by model={model}"
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    if data * model != n:
+        raise ValueError(
+            f"make_mesh(data={data}, model={model}) needs {data * model} devices "
+            f"but only {n} visible on platform "
+            f"'{devices[0].platform if devices else '?'}'. To emulate a mesh "
+            f"without hardware, run with JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={data * model} "
+            f"(set BEFORE the first jax backend touch, plus "
+            f"jax.config.update('jax_platforms', 'cpu') after import if a "
+            f"sitecustomize pins another platform)."
+        )
     dev_array = np.asarray(devices).reshape(data, model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
