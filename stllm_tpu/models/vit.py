@@ -21,7 +21,8 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from stllm_tpu.ops.attention import flash_attention
+from stllm_tpu.ops.attention import (
+    flash_attention, fused_qkv_attention, fused_qkv_attention_quant)
 from stllm_tpu.ops.layers import gelu, init_layer_norm, init_linear, layer_norm, linear
 
 
@@ -126,6 +127,10 @@ def _attention(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
     qkv_p = dict(block["qkv"])
     qkv_p["b"] = qkv_bias  # k bias fixed at zero (reference: eva_vit.py:79-87)
     qkv = linear(qkv_p, x)
+    if cfg.use_flash is None:
+        # packed-qkv kernel: no HBM q/k/v split copies around the custom call
+        out = fused_qkv_attention(qkv, cfg.heads, cfg.head_dim)
+        return linear(block["proj"], out)
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, n, cfg.heads, cfg.head_dim)
     k = k.reshape(b, n, cfg.heads, cfg.head_dim)
@@ -150,14 +155,19 @@ def _vit_block_quant(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
         [block["q_bias"], jnp.zeros_like(block["q_bias"]), block["v_bias"]]
     )
     qkv = quant_matmul_pre(hq, hs, {**block["qkv"], "b": qkv_bias}, x.dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    out = flash_attention(
-        q.reshape(b, n, cfg.heads, cfg.head_dim),
-        k.reshape(b, n, cfg.heads, cfg.head_dim),
-        v.reshape(b, n, cfg.heads, cfg.head_dim),
-        use_pallas=cfg.use_flash,
-    )
-    oq, os_ = quantize_activations(out.reshape(b, n, d))
+    if cfg.use_flash is None:
+        # packed-qkv kernel with in-kernel int8 epilogue: no q/k/v HBM split
+        # copies AND the proj input quantization happens in VMEM for free
+        oq, os_ = fused_qkv_attention_quant(qkv, cfg.heads, cfg.head_dim)
+    else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = flash_attention(
+            q.reshape(b, n, cfg.heads, cfg.head_dim),
+            k.reshape(b, n, cfg.heads, cfg.head_dim),
+            v.reshape(b, n, cfg.heads, cfg.head_dim),
+            use_pallas=cfg.use_flash,
+        )
+        oq, os_ = quantize_activations(out.reshape(b, n, d))
     x = x + quant_matmul_pre(oq, os_, block["proj"], x.dtype)
 
     hq, hs = layer_norm_quant(block["norm2"], x, cfg.ln_eps)

@@ -325,3 +325,54 @@ def test_rope_matches_hf():
     np.testing.assert_allclose(
         np.asarray(got), want.permute(0, 2, 1, 3).numpy(), atol=1e-5
     )
+
+
+class TestPackedQKVAttention:
+    """Packed-qkv fused kernel (ops/attention.py): the ViT encode path's
+    attention, taking the (B, S, 3*H*D) qkv projection directly so no HBM
+    q/k/v split copies surround the Pallas call."""
+
+    def _qkv_packed(self, key, b, s, h, d, dtype=jnp.float32):
+        return jax.random.normal(key, (b, s, 3 * h * d), dtype)
+
+    def test_kernel_matches_reference(self):
+        from stllm_tpu.ops.attention import (
+            _packed_qkv_impl, _packed_reference)
+
+        b, s, h, d = 2, 37, 4, 24
+        qkv = self._qkv_packed(jax.random.PRNGKey(0), b, s, h, d)
+        ref = _packed_reference(qkv, h, d, d ** -0.5)
+        out = _packed_qkv_impl(qkv, h, d, d ** -0.5, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_quant_epilogue_matches_external_quant(self):
+        from stllm_tpu.ops.attention import (
+            _packed_reference, fused_qkv_attention_quant)
+        from stllm_tpu.ops.quant import quantize_activations
+
+        b, s, h, d = 2, 29, 4, 16
+        qkv = self._qkv_packed(jax.random.PRNGKey(1), b, s, h, d)
+        oq, osc = fused_qkv_attention_quant(qkv, h, d, interpret=True)
+        rq, rsc = quantize_activations(_packed_reference(qkv, h, d, d ** -0.5))
+        assert int(np.asarray(oq != rq).sum()) == 0
+        np.testing.assert_allclose(np.asarray(osc), np.asarray(rsc), atol=1e-7)
+
+    def test_gradients_match_reference(self):
+        from stllm_tpu.ops.attention import (
+            _packed_reference, fused_qkv_attention)
+
+        b, s, h, d = 1, 19, 2, 8
+        qkv = self._qkv_packed(jax.random.PRNGKey(2), b, s, h, d)
+        g = jax.grad(lambda t: (fused_qkv_attention(
+            t, h, d, interpret=True) ** 2).sum())(qkv)
+        gr = jax.grad(lambda t: (_packed_reference(
+            t, h, d, d ** -0.5) ** 2).sum())(qkv)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-5)
+
+    def test_vmem_misfit_falls_back(self):
+        from stllm_tpu.ops.attention import fused_qkv_attention
+
+        # seq >= 1024 is infeasible for the single-pass kernel
+        qkv = self._qkv_packed(jax.random.PRNGKey(3), 1, 1100, 2, 8)
+        out = fused_qkv_attention(qkv, 2, 8)
+        assert out.shape == (1, 1100, 16)
