@@ -47,8 +47,17 @@ class EasyDict(dict):
 
 @dataclasses.dataclass
 class Conversation:
-    """Prompt builder: system + '###'-separated role turns
-    (reference: conversation.py:30-102)."""
+    """Dialog state + prompt renderer.
+
+    The rendered prompt layout is protocol (it must match the reference's
+    output strings, conversation.py:30-102, so benchmark prompts tokenize
+    identically — pinned by tests/test_conversation.py): the system text,
+    then each turn as ``{role}{message}{separator}``. A turn whose message
+    is None renders as the bare role — that trailing cue is what the model
+    completes. SINGLE style uses one separator everywhere (also after the
+    system text); TWO alternates ``sep``/``sep2`` by turn parity, with
+    ``sep`` after the system text.
+    """
 
     system: str
     roles: Tuple[str, str]
@@ -61,52 +70,35 @@ class Conversation:
     skip_next: bool = False
     conv_id: Any = None
 
-    def get_prompt(self) -> str:
+    def _separators(self) -> Tuple[str, str]:
         if self.sep_style == SeparatorStyle.SINGLE:
-            ret = self.system + self.sep
-            for role, message in self.messages:
-                if message:
-                    ret += role + message + self.sep
-                else:
-                    ret += role
-            return ret
+            return self.sep, self.sep
         if self.sep_style == SeparatorStyle.TWO:
-            seps = [self.sep, self.sep2]
-            ret = self.system + seps[0]
-            for i, (role, message) in enumerate(self.messages):
-                if message:
-                    ret += role + message + seps[i % 2]
-                else:
-                    ret += role
-            return ret
+            return self.sep, self.sep2 or ""
         raise ValueError(f"Invalid style: {self.sep_style}")
+
+    def get_prompt(self) -> str:
+        seps = self._separators()
+        parts = [self.system, seps[0]]
+        for i, (role, message) in enumerate(self.messages):
+            parts.append(role)
+            if message:
+                parts.append(message)
+                parts.append(seps[i % 2])
+        return "".join(parts)
 
     def append_message(self, role: str, message: Optional[str]) -> None:
         self.messages.append([role, message])
 
     def copy(self) -> "Conversation":
-        return Conversation(
-            system=self.system,
-            roles=self.roles,
-            messages=[[x, y] for x, y in self.messages],
-            offset=self.offset,
-            instruction=self.instruction,
-            sep_style=self.sep_style,
-            sep=self.sep,
-            sep2=self.sep2,
-            conv_id=self.conv_id,
-        )
+        clone = dataclasses.replace(self, skip_next=False)  # transient flag
+        clone.messages = [list(turn) for turn in self.messages]
+        return clone
 
     def dict(self):
-        return {
-            "system": self.system,
-            "roles": self.roles,
-            "messages": self.messages,
-            "offset": self.offset,
-            "sep": self.sep,
-            "sep2": self.sep2,
-            "conv_id": self.conv_id,
-        }
+        keep = ("system", "roles", "messages", "offset", "sep", "sep2",
+                "conv_id")
+        return {k: getattr(self, k) for k in keep}
 
 
 # Preset templates (reference: conversation.py:127-179)

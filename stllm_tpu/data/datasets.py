@@ -58,10 +58,11 @@ class ITImgTrainDataset:
         self.num_examples = len(self.anno)
         self.transform = transform
 
-        if system:
-            assert system[-1] == " ", (
-                "' ' should be add in the end of system, thus '###' will be "
-                "tokenized into one token."
+        if system and not system.endswith(" "):
+            raise ValueError(
+                "`system` must end with a single space so that the '###' "
+                "turn separator that follows it tokenizes as one token "
+                "(prompt-format requirement shared with the reference)."
             )
         self.begin_signal = "###"
         self.end_signal = " "
@@ -77,41 +78,48 @@ class ITImgTrainDataset:
         return self.num_examples
 
     def get_anno(self, index: int) -> Dict:
-        filename = self.anno[index][self.media_type]
-        qa = self.anno[index]["QA"]
-        anno = {"image": os.path.join(self.data_root, filename), "qa": qa}
-        if "start" in self.anno[index] and "end" in self.anno[index]:
-            anno["start"] = self.anno[index]["start"]
-            anno["end"] = self.anno[index]["end"]
+        record = self.anno[index]
+        anno = {
+            "image": os.path.join(self.data_root, record[self.media_type]),
+            "qa": record["QA"],
+        }
+        window = {k: record[k] for k in ("start", "end") if k in record}
+        if len(window) == 2:  # clip bounds only meaningful as a pair
+            anno.update(window)
         return anno
 
-    def process_qa(self, qa: List[Dict], msg: str = "") -> Tuple[str, str]:
-        """Build the instruction string (reference: :223-250)."""
-        cur_instruction = ""
-        if self.random_shuffle and len(qa) > 1:
-            qa = list(qa)
-            self.rng.shuffle(qa)
-        if "i" in qa[0] and qa[0]["i"] != "":
-            cur_instruction = qa[0]["i"] + self.end_signal
+    def _compose_prompt(self, question: str, instruction: str, msg: str) -> str:
+        """Assemble the full conversation prompt, ending at the assistant cue.
 
-        conversation = self.system
-        if not self.simple:
-            if cur_instruction:
-                conversation += cur_instruction
-            conversation += (
-                self.begin_signal + self.role[0] + ": "
-                + self.start_token + "<ImageHere>" + self.end_token
-                + msg.rstrip() + " " + qa[0]["q"] + self.end_signal
-                + self.begin_signal + self.role[1] + ": "
-            )
-        else:
-            conversation += "<ImageHere>"
-            conversation += (
-                self.begin_signal + self.role[0] + ": "
-                + cur_instruction + msg.rstrip() + qa[0]["q"] + self.end_signal
-                + self.begin_signal + self.role[1] + ": "
-            )
-        return conversation, qa[0]["a"]
+        Two layouts (byte-identical to the reference's output strings,
+        image_video_itdatasets.py:223-250 — pinned by
+        tests/test_datasets.py golden strings):
+
+          normal : {system}{instruction}###Human: <Video><ImageHere></Video>
+                   {msg} {question} ###Assistant:
+          simple : {system}<ImageHere>###Human: {instruction}{msg}{question}
+                   ###Assistant:    (instruction inlined, no media tokens)
+        """
+        human, assistant = self.role
+        sep, sp = self.begin_signal, self.end_signal
+        if self.simple:
+            turn = f"{instruction}{msg.rstrip()}{question}"
+            return (f"{self.system}<ImageHere>"
+                    f"{sep}{human}: {turn}{sp}{sep}{assistant}: ")
+        media = f"{self.start_token}<ImageHere>{self.end_token}"
+        turn = f"{media}{msg.rstrip()} {question}"
+        return (f"{self.system}{instruction}"
+                f"{sep}{human}: {turn}{sp}{sep}{assistant}: ")
+
+    def process_qa(self, qa: List[Dict], msg: str = "") -> Tuple[str, str]:
+        """Pick one QA pair (random when shuffling) and build its prompt."""
+        pick = qa[0]
+        if self.random_shuffle and len(qa) > 1:
+            pick = qa[int(self.rng.integers(0, len(qa)))]
+        instruction = pick.get("i") or ""
+        if instruction:
+            instruction += self.end_signal
+        return self._compose_prompt(pick["q"], instruction, msg), pick["a"]
 
     def load_image(self, path: str) -> np.ndarray:
         import cv2

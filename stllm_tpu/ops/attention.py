@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from stllm_tpu.ops.spmd import kernel_shard_count, shard_batched
+
 NEG_INF = -1e30
 LSE_MASKED = 1e30  # logsumexp sentinel for fully-masked rows (exp(s-.) == 0)
 
@@ -164,41 +166,45 @@ def _flash_forward(
     *, causal: bool, scale: float, block_q: int, block_k: int, interpret: bool,
 ) -> jax.Array:
     """q,k,v: (BH, S, D) padded to block multiples; kv_mask: (BH, 1, Sk) int32."""
-    bh, sq, d = q.shape
+    _, sq, d = q.shape
     sk = k.shape[1]
-    grid = (bh, sq // block_q, sk // block_k)
 
     kernel = functools.partial(
         _flash_kernel, causal=causal, scale=scale,
         block_q=block_q, block_k=block_k,
     )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, 1, sq), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(q, k, v, kv_mask)
+
+    def raw(q, k, v, kv_mask):
+        bh = q.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(bh, sq // block_q, sk // block_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+                jax.ShapeDtypeStruct((bh, 1, sq), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(q, k, v, kv_mask)
+
+    return shard_batched(raw, q, k, v, kv_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -308,57 +314,67 @@ def _flash_backward(
     dq_kernel = functools.partial(
         _flash_bwd_dq_kernel, causal=causal, scale=scale,
         block_q=block_q, block_k=block_k)
-    dq = pl.pallas_call(
-        dq_kernel,
-        grid=(bh, n_q, n_k),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j)),
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
-            pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, sq, d), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-        interpret=interpret,
-    )(q, k, v, kv_mask, do, lse, delta)
+
+    def raw_dq(q, k, v, kv_mask, do, lse, delta):
+        b_ = q.shape[0]
+        return pl.pallas_call(
+            dq_kernel,
+            grid=(b_, n_q, n_k),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j)),
+                pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+                pl.BlockSpec((1, 1, block_q), lambda b, i, j: (b, 0, i)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b_, sq, d), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(q, k, v, kv_mask, do, lse, delta)
+
+    dq = shard_batched(raw_dq, q, k, v, kv_mask, do, lse, delta)
 
     dkv_kernel = functools.partial(
         _flash_bwd_dkv_kernel, causal=causal, scale=scale,
         block_q=block_q, block_k=block_k)
-    dk, dv = pl.pallas_call(
-        dkv_kernel,
-        grid=(bh, n_k, n_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda b, j, i: (b, 0, j)),
-            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
-            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),
-            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, sk, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh, sk, d), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-        interpret=interpret,
-    )(q, k, v, kv_mask, do, lse, delta)
+
+    def raw_dkv(q, k, v, kv_mask, do, lse, delta):
+        b_ = q.shape[0]
+        return pl.pallas_call(
+            dkv_kernel,
+            grid=(b_, n_k, n_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda b, j, i: (b, 0, j)),
+                pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+                pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),
+                pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b_, sk, d), jnp.float32),
+                jax.ShapeDtypeStruct((b_, sk, d), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(q, k, v, kv_mask, do, lse, delta)
+
+    dk, dv = shard_batched(raw_dkv, q, k, v, kv_mask, do, lse, delta)
     return dq, dk, dv
 
 
@@ -538,7 +554,9 @@ def _fused_short_impl(q, k, v, q_mask, kv_mask, causal, scale, interpret):
     kf = k.reshape(b, sk, h * d)
     vf = v.reshape(b, sk, h * d)
     hc = _pick_head_chunk(h, d, sq, sk, q.dtype.itemsize)
-    if hc == 0:  # no VMEM-feasible 128-aligned head chunk at these shapes
+    if hc == 0 or b % kernel_shard_count():
+        # no VMEM-feasible 128-aligned head chunk, or the batch doesn't
+        # divide over the active kernel mesh
         return mha_reference(
             q, k, v, causal=causal, q_mask=q_mask, kv_mask=kv_mask, scale=scale
         )
@@ -560,17 +578,22 @@ def _fused_short_impl(q, k, v, q_mask, kv_mask, causal, scale, interpret):
         # kernel never reads (has_kv_mask=False elides the where)
         in_specs.append(pl.BlockSpec((1, 1, 1), lambda i, j: (0, 0, 0)))
         operands.append(jnp.ones((1, 1, 1), jnp.int32))
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, h // hc),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, sq, hc * d), lambda i, j: (i, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((b, sq, h * d), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(*operands)
+
+    def raw(*ops):
+        bb = ops[0].shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(bb, h // hc),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, sq, hc * d), lambda i, j: (i, 0, j)),
+            out_shape=jax.ShapeDtypeStruct((bb, sq, h * d), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(*ops)
+
+    out = shard_batched(raw, *operands)
     out = out.reshape(b, sq, h, d)
     if q_mask is not None:
         out = out * q_mask[:, :, None, None].astype(out.dtype)
@@ -687,22 +710,26 @@ def _packed_qkv_feasible(seq: int, heads: int, head_dim: int,
 
 
 def _packed_qkv_impl(qkv, heads, head_dim, scale, interpret):
-    b, s, _ = qkv.shape
     hd = heads * head_dim
     if jax.default_backend() == "cpu":
         interpret = True
-    kern = functools.partial(_packed_qkv_kernel, heads=heads,
-                             head_dim=head_dim, scale=scale)
-    return pl.pallas_call(
-        kern,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, s, 3 * hd), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((1, s, hd), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, s, hd), qkv.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(qkv)
+
+    def raw(qkv):
+        b, s, _ = qkv.shape
+        kern = functools.partial(_packed_qkv_kernel, heads=heads,
+                                 head_dim=head_dim, scale=scale)
+        return pl.pallas_call(
+            kern,
+            grid=(b,),
+            in_specs=[pl.BlockSpec((1, s, 3 * hd), lambda i: (i, 0, 0))],
+            out_specs=pl.BlockSpec((1, s, hd), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, s, hd), qkv.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(qkv)
+
+    return shard_batched(raw, qkv)
 
 
 def _packed_reference(qkv, heads, head_dim, scale):
@@ -745,8 +772,9 @@ def fused_qkv_attention(qkv: jax.Array, heads: int, head_dim: int, *,
     assert f == 3 * heads * head_dim, (f, heads, head_dim)
     scale = (head_dim ** -0.5) if scale is None else scale
     on_tpu = jax.default_backend() not in ("cpu",)
-    if not _packed_qkv_feasible(s, heads, head_dim, qkv.dtype.itemsize) or (
-            not on_tpu and not interpret):
+    if (not _packed_qkv_feasible(s, heads, head_dim, qkv.dtype.itemsize)
+            or (not on_tpu and not interpret)
+            or b % kernel_shard_count()):
         return _packed_reference(qkv, heads, head_dim, scale)
     return _packed_qkv_attention(qkv, heads, head_dim, scale, interpret)
 
@@ -766,31 +794,37 @@ def fused_qkv_attention_quant(qkv: jax.Array, heads: int, head_dim: int, *,
     scale = (head_dim ** -0.5) if scale is None else scale
     on_tpu = jax.default_backend() not in ("cpu",)
     feasible = _packed_qkv_feasible(s, heads, head_dim, qkv.dtype.itemsize)
-    if not feasible or (not on_tpu and not interpret):
+    if (not feasible or (not on_tpu and not interpret)
+            or b % kernel_shard_count()):
         return quantize_activations(
             fused_qkv_attention(qkv, heads, head_dim, scale=scale,
                                 interpret=interpret))
     if jax.default_backend() == "cpu":
         interpret = True
-    kern = functools.partial(_packed_qkv_quant_kernel, heads=heads,
-                             head_dim=head_dim, scale=scale)
-    return pl.pallas_call(
-        kern,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, s, 3 * hd), lambda i: (i, 0, 0))],
-        out_specs=[
-            pl.BlockSpec((1, s, hd), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, s, 1), lambda i: (i, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, s, hd), jnp.int8),
-            jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
-        ],
-        scratch_shapes=[pltpu.VMEM((s, hd), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(qkv)
+
+    def raw(qkv):
+        b, s, _ = qkv.shape
+        kern = functools.partial(_packed_qkv_quant_kernel, heads=heads,
+                                 head_dim=head_dim, scale=scale)
+        return pl.pallas_call(
+            kern,
+            grid=(b,),
+            in_specs=[pl.BlockSpec((1, s, 3 * hd), lambda i: (i, 0, 0))],
+            out_specs=[
+                pl.BlockSpec((1, s, hd), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, s, 1), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, s, hd), jnp.int8),
+                jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((s, hd), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(qkv)
+
+    return shard_batched(raw, qkv)
 
 
 # largest (Sq, Sk) fp32 score tile the fused kernel is allowed to hold in
@@ -840,7 +874,10 @@ def flash_attention(
             return _fused_short_attention(
                 q, k, v, q_mask, kv_mask, causal, scale, interpret
             )
-        use_pallas = on_tpu and k.shape[1] >= 1024
+        use_pallas = (on_tpu and k.shape[1] >= 1024
+                      # folded (B*H) batch must divide over an active kernel
+                      # mesh (ops/spmd.py) for the shard_map wrapper
+                      and (q.shape[0] * q.shape[2]) % kernel_shard_count() == 0)
     if not use_pallas:
         return mha_reference(
             q, k, v, causal=causal, q_mask=q_mask, kv_mask=kv_mask, scale=scale

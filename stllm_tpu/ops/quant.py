@@ -231,30 +231,37 @@ def _gelu_quant_kernel(x_ref, xq_ref, s_ref, *, approx: bool):
 def _rowwise_pallas(kernel, x3, extra, interpret):
     # natural-batch tiling: block (1, S, K) over (B, S, K) — S spans its full
     # dim so no divisor constraints; fp32 working tile budget ~8 MB
+    from stllm_tpu.ops.spmd import kernel_shard_count, shard_batched
+
     b, s, k = x3.shape
-    if s * k * 4 > 8 * 1024 * 1024:
+    if s * k * 4 > 8 * 1024 * 1024 or b % kernel_shard_count():
         return None
     if jax.default_backend() == "cpu":
         interpret = True
     n_extra = len(extra)
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, s, k), lambda i: (i, 0, 0))]
-        + [pl.BlockSpec((1, k), lambda i: (0, 0))] * n_extra,
-        out_specs=[
-            pl.BlockSpec((1, s, k), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, s, 1), lambda i: (i, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, s, k), jnp.int8),
-            jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=interpret,
-    )(x3, *extra)
+
+    def raw(x3, *extra):
+        bb = x3.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(bb,),
+            in_specs=[pl.BlockSpec((1, s, k), lambda i: (i, 0, 0))]
+            + [pl.BlockSpec((1, k), lambda i: (0, 0))] * n_extra,
+            out_specs=[
+                pl.BlockSpec((1, s, k), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, s, 1), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bb, s, k), jnp.int8),
+                jax.ShapeDtypeStruct((bb, s, 1), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(x3, *extra)
+
+    return shard_batched(raw, x3, *extra)
 
 
 def layer_norm_quant(params: Dict, x: jax.Array, eps: float = 1e-6,

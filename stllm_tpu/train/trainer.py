@@ -82,7 +82,20 @@ class Trainer:
                 params=jax.device_put(self.state.params, t_sh),
                 frozen=jax.device_put(self.state.frozen, f_sh),
             )
-        self._step_fn = jax.jit(make_train_step(cfg, optimizer, accum_steps))
+        _jitted = jax.jit(make_train_step(cfg, optimizer, accum_steps))
+        if mesh is not None:
+            from stllm_tpu.ops.spmd import kernel_sharding
+
+            # Pallas kernels can't be GSPMD-auto-partitioned; the kernel
+            # mesh context makes the dispatchers wrap them in shard_map
+            # over the 'data' axis at trace time (ops/spmd.py).
+            def _step_fn(state, batch):
+                with kernel_sharding(mesh):
+                    return _jitted(state, batch)
+
+            self._step_fn = _step_fn
+        else:
+            self._step_fn = _jitted
         self.ckpt = CheckpointManager(output_dir, max_to_keep=max_keep)
         # profiling (SURVEY §5: the reference has only wall-clock metering;
         # here a jax.profiler trace window captures device timelines)

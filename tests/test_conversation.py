@@ -14,6 +14,7 @@ from stllm_tpu.conversation import (
     CONV_instructblip_Vicuna0,
     Chat,
     Conversation,
+    SeparatorStyle,
 )
 from stllm_tpu.models.llama import LlamaConfig
 from stllm_tpu.models.qformer import QFormerConfig
@@ -139,3 +140,23 @@ def test_answer_beam(chat):
     text, tokens = chat.answer(conv, img_list, max_new_tokens=6, num_beams=2,
                                do_sample=False)
     assert isinstance(text, str) and len(tokens) <= 6
+
+
+def test_get_prompt_two_style_golden():
+    """TWO-style separator alternation + mid-dialog rendering, byte-exact
+    (protocol: reference conversation.py:42-51)."""
+    conv = Conversation(
+        system="SYS", roles=("U: ", "A: "), messages=[], offset=0,
+        instruction=False, sep_style=SeparatorStyle.TWO, sep="#", sep2="&",
+    )
+    conv.append_message(conv.roles[0], "q1")
+    conv.append_message(conv.roles[1], "a1")
+    conv.append_message(conv.roles[0], "q2")
+    conv.append_message(conv.roles[1], None)
+    assert conv.get_prompt() == "SYS#U: q1#A: a1&U: q2#A: "
+    # copy() deep-copies turns and resets the transient skip flag
+    conv.skip_next = True
+    clone = conv.copy()
+    clone.messages[0][1] = "changed"
+    assert conv.messages[0][1] == "q1" and clone.skip_next is False
+    assert conv.dict()["sep2"] == "&"

@@ -270,3 +270,45 @@ def test_corpus_registry_roots():
     assert corpus["caption_webvid"] == [
         "/anno/video/caption/webvid/train.json", "/data/WebVid2M", "video"]
     assert corpus["vqa_gqa"] == ["/anno/image/vqa/gqa/train.json", "/data/m3it/gqa"]
+
+
+def test_prompt_golden_strings(corpus_dir):
+    """Byte-exact prompt strings for every process_qa branch (the prompt is
+    protocol: it must match the reference's concatenation at
+    image_video_itdatasets.py:223-250 exactly, incl. spacing)."""
+    ds = ITVidTrainDataset(corpus_dir, transform=None, num_frames=2,
+                           system="You are a helper. ", seed=0)
+    # normal mode + instruction + second-message
+    msg = " The video contains 2 frames sampled at 0.0, 1.0 seconds. "
+    prompt, ans = ds.process_qa(
+        [{"i": "Watch carefully.", "q": "what color?", "a": "gray"}], msg)
+    assert prompt == (
+        "You are a helper. Watch carefully. ###Human: "
+        "<Video><ImageHere></Video> The video contains 2 frames sampled at "
+        "0.0, 1.0 seconds. what color? ###Assistant: "
+    )
+    assert ans == "gray"
+    # normal mode, no instruction, no msg
+    prompt, _ = ds.process_qa([{"q": "count?", "a": "three"}])
+    assert prompt == (
+        "You are a helper. ###Human: <Video><ImageHere></Video> count? "
+        "###Assistant: "
+    )
+    # simple mode inlines the instruction, drops media wrapper tokens,
+    # and concatenates msg/question with NO space
+    ds_simple = ITVidTrainDataset(corpus_dir, transform=None, num_frames=2,
+                                  simple=True, seed=0)
+    prompt, _ = ds_simple.process_qa(
+        [{"i": "Describe.", "q": "what?", "a": "x"}], msg)
+    assert prompt == (
+        "<ImageHere>###Human: Describe.  The video contains 2 frames sampled "
+        "at 0.0, 1.0 seconds.what? ###Assistant: "
+    )
+    # empty-string instruction behaves as absent (reference checks != "")
+    prompt, _ = ds_simple.process_qa([{"i": "", "q": "what?", "a": "x"}])
+    assert prompt == "<ImageHere>###Human: what? ###Assistant: "
+
+
+def test_system_trailing_space_enforced(corpus_dir):
+    with pytest.raises(ValueError):
+        ITVidTrainDataset(corpus_dir, transform=None, system="no trailing space")
