@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -316,6 +316,273 @@ def _generate_sample_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
     return generated
 
 
+# ---------------------------------------------------------------------------
+# On-device chunked beam search
+# ---------------------------------------------------------------------------
+#
+# The host beam loop below pays one blocking device round-trip per token; over
+# a networked TPU that dominates (measured ~4x greedy latency). The device
+# beam runs ``chunk`` whole beam steps in ONE jitted lax.scan call — decode,
+# candidate expansion, finished-hypothesis pooling and survivor selection all
+# on device — and returns per-step backpointer records (parent beam, token)
+# from which the host reconstructs exact sequences. Semantics replicate the
+# host loop candidate-for-candidate (which tests pin against HF generate,
+# tests/test_llama.py): all k*2k candidates ranked by score (ties broken in
+# beam-major enumeration order), scanned in rank order, finished candidates
+# pooled until the k-th survivor is found, survivors padded by repetition
+# when fewer than k exist.
+#
+# Device support covers the benchmark protocol (reference:
+# stllm/test/qabench/msvd_qa.py:111-115 — beam 5, '###' stops): stop
+# sequences of length <= 2 plus eos, min_length via candidate exclusion.
+# Longer stop sequences or repetition penalty fall back to the host loop.
+
+
+class _BeamProto(NamedTuple):
+    """Hashable static subset of GenerationConfig for the jitted beam step."""
+    eos: int
+    stops1: Tuple[int, ...]            # single-token stop ids
+    stops2: Tuple[Tuple[int, int], ...]  # two-token stop suffixes
+    min_length: int
+    length_penalty: float
+
+    @staticmethod
+    def from_gen(gen: "GenerationConfig") -> "_BeamProto":
+        return _BeamProto(
+            eos=gen.eos_token_id,
+            stops1=tuple(s[-1] for s in gen.stop_sequences if len(s) == 1),
+            stops2=tuple(tuple(s) for s in gen.stop_sequences if len(s) == 2),
+            min_length=gen.min_length,
+            length_penalty=gen.length_penalty,
+        )
+
+
+def beam_device_supported(gen: "GenerationConfig") -> bool:
+    return (gen.repetition_penalty == 1.0
+            and all(len(s) <= 2 for s in gen.stop_sequences))
+
+
+class _BeamState(NamedTuple):
+    scores: jax.Array        # (k,) cumulative log-probs
+    last_token: jax.Array    # (k,) int32 — token to feed next
+    reorder: jax.Array       # (k,) int32 — parent beam for the next decode
+    step: jax.Array          # () int32 — tokens emitted so far
+    fin_count: jax.Array     # () int32 — total finished hypotheses
+    pool_score: jax.Array    # (k,) length-penalized scores of best finished
+    pool_step: jax.Array     # (k,) step at which each pool entry finished
+    pool_parent: jax.Array   # (k,) parent beam index at that step
+    pool_token: jax.Array    # (k,) final token of the hypothesis
+    no_survivors: jax.Array  # () bool — a step produced zero survivors
+
+
+def _beam_transition(state: _BeamState, top_v, top_i, proto: _BeamProto,
+                     k: int):
+    """One beam step given (k, 2k) per-beam top-k log-probs. Returns the new
+    state plus this step's backpointer record {parent, token}."""
+    # all k*2k candidates, beam-major (matches host enumeration order)
+    cand_score = (state.scores[:, None] + top_v).reshape(-1)       # (k*2k,)
+    cand_token = top_i.reshape(-1)
+    cand_parent = jnp.repeat(jnp.arange(k, dtype=jnp.int32), top_v.shape[1])
+
+    # min_length: exclude eos candidates entirely while step < min_length
+    if proto.min_length > 1:
+        excl = (cand_token == proto.eos) & (state.step < proto.min_length)
+        cand_score = jnp.where(excl, -jnp.inf, cand_score)
+
+    n_cand = cand_score.shape[0]
+    sort_v, sort_idx = jax.lax.top_k(cand_score, n_cand)  # ties: lower index
+    sort_token = cand_token[sort_idx]
+    sort_parent = cand_parent[sort_idx]
+
+    fin = sort_token == proto.eos
+    for t in proto.stops1:
+        fin = fin | (sort_token == t)
+    for a, b in proto.stops2:
+        # candidate suffix-2 = (parent beam's last emitted token, candidate);
+        # undefined before any token was emitted (host: len(ids) < 2)
+        fin = fin | ((state.last_token[sort_parent] == a)
+                     & (sort_token == b) & (state.step >= 1))
+
+    # scan candidates in rank order: survivors fill the beam; finished
+    # candidates ranked before the k-th survivor join the pool (the host
+    # loop breaks right after appending the k-th survivor)
+    surv_cum = jnp.cumsum((~fin).astype(jnp.int32))
+    n_surv = jnp.minimum(surv_cum[-1], k)
+    has_k = surv_cum[-1] >= k
+    kth_pos = jnp.argmax(surv_cum == k)
+    processed = jnp.where(has_k, kth_pos + 1, n_cand)
+    eligible = fin & (jnp.arange(n_cand) < processed)
+
+    # pos_of_rank[r] = candidate index of the (r+1)-th survivor; finished or
+    # rank>=k candidates scatter to the dropped index k
+    rank = jnp.where(fin | (surv_cum > k), k, surv_cum - 1)
+    pos_of_rank = jnp.full((k,), n_cand - 1, jnp.int32).at[rank].min(
+        jnp.arange(n_cand, dtype=jnp.int32), mode="drop")
+    last_surv = pos_of_rank[jnp.clip(n_surv - 1, 0, k - 1)]
+    slots = jnp.where(jnp.arange(k) < n_surv, pos_of_rank, last_surv)
+
+    new_scores = sort_v[slots]
+    new_tokens = sort_token[slots]
+    new_parents = sort_parent[slots]
+
+    # pool finished candidates (length-penalized), keep the global best k
+    length = (state.step + 1).astype(jnp.float32)
+    fin_norm = jnp.where(eligible,
+                         sort_v / (length ** proto.length_penalty),
+                         -jnp.inf)
+    all_scores = jnp.concatenate([state.pool_score, fin_norm])
+    all_step = jnp.concatenate(
+        [state.pool_step, jnp.full((n_cand,), state.step, jnp.int32)])
+    all_parent = jnp.concatenate([state.pool_parent, sort_parent])
+    all_token = jnp.concatenate([state.pool_token, sort_token])
+    best_v, best_i = jax.lax.top_k(all_scores, k)
+
+    new_state = _BeamState(
+        scores=new_scores,
+        last_token=new_tokens,
+        reorder=new_parents,
+        step=state.step + 1,
+        fin_count=state.fin_count + eligible.sum(dtype=jnp.int32),
+        pool_score=best_v,
+        pool_step=all_step[best_i],
+        pool_parent=all_parent[best_i],
+        pool_token=all_token[best_i],
+        no_survivors=state.no_survivors | (n_surv == 0),
+    )
+    return new_state, {"parent": new_parents, "token": new_tokens}
+
+
+_beam_first_step = functools.partial(
+    jax.jit, static_argnames=("proto", "k"))(_beam_transition)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "proto", "k", "chunk"),
+    donate_argnums=(3,),
+)
+def _beam_chunk_device(params, state: _BeamState, prefix: KVCache,
+                       gen_cache: KVCache, cfg: LlamaConfig,
+                       proto: _BeamProto, k: int, chunk: int):
+    """Run ``chunk`` full beam steps on device. Steps after termination
+    (pool full / no survivors) still execute but are masked: the state
+    freezes and the per-step ``alive`` flag marks their records invalid."""
+    from stllm_tpu.models.llama import llama_decode_prefix
+
+    def body(carry, _):
+        state, cache = carry
+        alive = (state.fin_count < k) & ~state.no_survivors
+        cache = KVCache(
+            k=cache.k[:, state.reorder], v=cache.v[:, state.reorder],
+            length=cache.length[state.reorder],
+            k_scale=None if cache.k_scale is None
+            else cache.k_scale[:, state.reorder],
+            v_scale=None if cache.v_scale is None
+            else cache.v_scale[:, state.reorder],
+        )
+        embeds = params["embed_tokens"][state.last_token][:, None].astype(cfg.dtype)
+        hidden, cache = llama_decode_prefix(params, embeds, prefix, cache, cfg)
+        logits = lm_head(params, hidden)[:, 0]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        top_v, top_i = jax.lax.top_k(logp, 2 * k)
+        new_state, record = _beam_transition(
+            state, top_v, top_i.astype(jnp.int32), proto, k)
+        new_state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(alive, n, o), new_state, state)
+        record["alive"] = alive
+        return (new_state, cache), record
+
+    (state, gen_cache), records = jax.lax.scan(
+        body, (state, gen_cache), None, length=chunk)
+    return state, gen_cache, records
+
+
+def _beam_search_ondevice(params, embeds, mask, *, llama_cfg: LlamaConfig,
+                          gen: GenerationConfig, chunk: int = 16) -> List[int]:
+    k = gen.num_beams
+    proto = _BeamProto.from_gen(gen)
+    logits, prefix = _prefill(params, embeds, mask, llama_cfg, embeds.shape[1])
+    gen_cache = init_kv_cache(llama_cfg, k, gen.max_new_tokens)
+
+    # first transition runs through the same jitted step, fed with the
+    # prefill top-2k; beams 1..k-1 start at -1e9 so row-0 candidates win
+    # (mirrors the host loop's first-step initialization)
+    lg = np.array(logits, np.float32)
+    logp0 = lg - np.log(np.exp(lg - lg.max(-1, keepdims=True)
+                               ).sum(-1, keepdims=True)) - lg.max(-1, keepdims=True)
+    order = np.argsort(-logp0[0])[: 2 * k]
+    init_scores = np.full((k,), -1e9, np.float32)
+    init_scores[0] = 0.0
+    top_v = np.repeat(logp0[0][order][None], k, axis=0)
+    top_i = np.repeat(order[None], k, axis=0)
+    state0 = _BeamState(
+        scores=jnp.asarray(init_scores),
+        last_token=jnp.zeros((k,), jnp.int32),
+        reorder=jnp.arange(k, dtype=jnp.int32),
+        step=jnp.zeros((), jnp.int32),
+        fin_count=jnp.zeros((), jnp.int32),
+        pool_score=jnp.full((k,), -jnp.inf, jnp.float32),
+        pool_step=jnp.zeros((k,), jnp.int32),
+        pool_parent=jnp.zeros((k,), jnp.int32),
+        pool_token=jnp.zeros((k,), jnp.int32),
+        no_survivors=jnp.zeros((), bool),
+    )
+    state, rec0 = _beam_first_step(
+        state0, jnp.asarray(top_v), jnp.asarray(top_i, jnp.int32), proto, k)
+
+    parents = [np.asarray(rec0["parent"])]
+    tokens = [np.asarray(rec0["token"])]
+    emitted = 1
+    while (emitted < gen.max_new_tokens
+           and int(state.fin_count) < k and not bool(state.no_survivors)):
+        n = min(chunk, gen.max_new_tokens - emitted)
+        state, gen_cache, records = _beam_chunk_device(
+            params, state, prefix, gen_cache, llama_cfg, proto, k, n)
+        alive = np.asarray(records["alive"])
+        rp, rt = np.asarray(records["parent"]), np.asarray(records["token"])
+        for i in range(n):
+            if not alive[i]:
+                break
+            parents.append(rp[i])
+            tokens.append(rt[i])
+            emitted += 1
+    if bool(state.no_survivors) and parents:
+        # the step that produced zero survivors emitted a degenerate record
+        # (the host loop discards that step's beams entirely)
+        parents.pop()
+        tokens.pop()
+
+    def reconstruct(step: int, parent: int, token: int) -> List[int]:
+        """Walk backpointers: sequence of length step+1 ending in token."""
+        seq = [int(token)]
+        b = int(parent)
+        for t in range(step - 1, -1, -1):
+            seq.append(int(tokens[t][b]))
+            b = int(parents[t][b])
+        return seq[::-1]
+
+    best, best_seq = -np.inf, None
+    pool_score = np.asarray(state.pool_score)
+    for i in range(k):
+        if np.isfinite(pool_score[i]) and pool_score[i] > best:
+            best = float(pool_score[i])
+            best_seq = reconstruct(int(state.pool_step[i]),
+                                   int(state.pool_parent[i]),
+                                   int(state.pool_token[i]))
+    if best_seq is None:
+        # nothing finished: normalized live beams compete (host fallback)
+        n_emit = len(tokens)
+        live = np.asarray(state.scores)
+        for b in range(k):
+            sc = live[b] / (max(n_emit, 1) ** gen.length_penalty)
+            if sc > best:
+                best = float(sc)
+                best_seq = reconstruct(n_emit - 1, int(parents[-1][b]),
+                                       int(tokens[-1][b]))
+    return best_seq if best_seq is not None else []
+
+
+
 def beam_search(
     params,
     inputs_embeds: jax.Array,   # (1, S, d)
@@ -328,12 +595,20 @@ def beam_search(
 
     The prompt is prefilled ONCE at batch 1; decode attends over the shared
     prompt prefix + a small per-beam generated cache (llama_decode_prefix),
-    so memory is prompt + beams*max_new instead of beams*(prompt+max_new)."""
+    so memory is prompt + beams*max_new instead of beams*(prompt+max_new).
+
+    Dispatches to the on-device chunked loop (one device call per 16 beam
+    steps) whenever the config is device-supported; the step-wise host loop
+    remains the fallback and the exactness oracle (tests/test_llama.py pins
+    both against HF generate)."""
     k = gen.num_beams
     s = inputs_embeds.shape[1]
     if attention_mask is None:
         attention_mask = jnp.ones((1, s), jnp.int32)
     embeds, mask = _pad_prompt(inputs_embeds, attention_mask, gen.pad_to_multiple)
+    if beam_device_supported(gen):
+        return _beam_search_ondevice(params, embeds, mask,
+                                     llama_cfg=llama_cfg, gen=gen)
     logits, prefix = _prefill(params, embeds, mask, llama_cfg, embeds.shape[1])
     gen_cache = init_kv_cache(llama_cfg, k, gen.max_new_tokens)
 

@@ -204,9 +204,15 @@ def make_train_step(
                 m_acc = jax.tree_util.tree_map(lambda a, x: a + x, m_acc, m)
                 return (g_acc, m_acc), None
 
-            g0, m0 = single_grads(state.params, state.frozen, micro(0, batch))
+            # zero-initialized carry so ALL micro-steps run inside the scan:
+            # unrolling micro-step 0 outside would double the compiled graph
+            # (it dominates AOT compile time for the 7B MVM step)
+            g0, m0 = jax.eval_shape(
+                single_grads, state.params, state.frozen, micro(0, batch))
+            zeros = lambda t: jax.tree_util.tree_map(  # noqa: E731
+                lambda s: jnp.zeros(s.shape, s.dtype), t)
             (grads, metrics), _ = jax.lax.scan(
-                body, (g0, m0), jnp.arange(1, accum_steps)
+                body, (zeros(g0), zeros(m0)), jnp.arange(accum_steps)
             )
             grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
             metrics = jax.tree_util.tree_map(lambda m: m / accum_steps, metrics)

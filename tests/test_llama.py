@@ -258,3 +258,49 @@ def test_full_int8_stack_generates(hf_and_jax):
                              pad_to_multiple=8),
     )
     assert len(out[0]) == 5
+
+
+def test_device_beam_matches_host_loop(hf_and_jax):
+    """On-device chunked beam search == the step-wise host loop (which the
+    HF test above pins), across stop sequences / min_length / length_penalty
+    variations and several prompts. chunk=3 forces multi-chunk paths."""
+    from stllm_tpu.models.generation import (
+        _beam_search_ondevice, _pad_prompt, beam_device_supported)
+    import stllm_tpu.models.generation as G
+
+    _, params = hf_and_jax
+    rs = np.random.RandomState(11)
+    configs = [
+        GenerationConfig(max_new_tokens=9, num_beams=3, stop_sequences=(),
+                         eos_token_id=2, pad_to_multiple=8),
+        GenerationConfig(max_new_tokens=9, num_beams=4,
+                         stop_sequences=((35,), (22, 29)), eos_token_id=2,
+                         pad_to_multiple=8),
+        GenerationConfig(max_new_tokens=7, num_beams=2, stop_sequences=(),
+                         eos_token_id=2, min_length=3, length_penalty=1.7,
+                         pad_to_multiple=8),
+    ]
+    for trial, gen in enumerate(configs):
+        assert beam_device_supported(gen)
+        emb = jnp.asarray((rs.randn(1, 5, TINY.hidden) * 0.05).astype(np.float32))
+        mask = jnp.ones((1, 5), jnp.int32)
+        e, m = _pad_prompt(emb, mask, gen.pad_to_multiple)
+        want = _host_beam(params, e, m, gen)
+        got = _beam_search_ondevice(params, e, m, llama_cfg=TINY, gen=gen,
+                                    chunk=3)
+        assert got == want, (trial, got, want)
+
+
+def _host_beam(params, embeds, mask, gen):
+    """The original step-wise host beam loop body (kept in beam_search as the
+    unsupported-config fallback); invoked directly here as the oracle."""
+    import dataclasses as _dc
+
+    from stllm_tpu.models.generation import beam_search
+
+    # force the host path by making the config device-unsupported in a way
+    # that doesn't change semantics: a 3-token stop that can never fire
+    g2 = _dc.replace(gen, stop_sequences=tuple(gen.stop_sequences)
+                     + ((121, 122, 123),))
+    out_host = beam_search(params, embeds, mask, llama_cfg=TINY, gen=g2)
+    return out_host
