@@ -220,29 +220,46 @@ def annotate(
     judge_fn: Callable[[Messages], str],
     max_rounds: int = 3,
     verbose: bool = True,
+    workers: int = 8,
 ) -> None:
     """Resumable per-sample judging: one <key>.json per sample; re-runs skip
-    completed keys (reference: evaluate_activitynet_qa.py:125-148)."""
+    completed keys; samples within a round fan out over a thread pool (the
+    judge is network-bound — reference uses multiprocessing.Pool,
+    evaluate_activitynet_qa.py:125-148). ``workers=1`` runs sequentially."""
+    from concurrent.futures import ThreadPoolExecutor
+
     os.makedirs(output_dir, exist_ok=True)
+
+    def judge_one(key: str) -> None:
+        qa = prediction_set[key]
+        messages = [
+            {"role": "system", "content": rubric.system},
+            {"role": "user", "content": rubric.user_template(qa)},
+        ]
+        try:
+            response = judge_fn(messages)
+            response_dict = ast.literal_eval(response)
+            # write-then-rename so a crash never leaves a truncated .json
+            # that the resume scan would treat as done
+            tmp = os.path.join(output_dir, f".{key}.tmp")
+            with open(tmp, "w") as f:
+                json.dump([response_dict, qa], f)
+            os.replace(tmp, os.path.join(output_dir, f"{key}.json"))
+        except Exception as e:  # noqa: BLE001 — mirror reference resilience
+            if verbose:
+                print(f"Error processing '{key}': {e}")
+
     for _ in range(max_rounds):
         done = {f[:-5] for f in os.listdir(output_dir) if f.endswith(".json")}
         todo = [k for k in prediction_set if k not in done]
         if not todo:
             return
-        for key in todo:
-            qa = prediction_set[key]
-            messages = [
-                {"role": "system", "content": rubric.system},
-                {"role": "user", "content": rubric.user_template(qa)},
-            ]
-            try:
-                response = judge_fn(messages)
-                response_dict = ast.literal_eval(response)
-                with open(os.path.join(output_dir, f"{key}.json"), "w") as f:
-                    json.dump([response_dict, qa], f)
-            except Exception as e:  # noqa: BLE001 — mirror reference resilience
-                if verbose:
-                    print(f"Error processing '{key}': {e}")
+        if workers <= 1:
+            for key in todo:
+                judge_one(key)
+        else:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(judge_one, todo))
 
 
 def combine_and_score(output_dir: str, output_json: Optional[str] = None,
@@ -284,10 +301,11 @@ def evaluate(
     output_dir: str,
     judge_fn: Callable[[Messages], str],
     output_json: Optional[str] = None,
+    workers: int = 8,
 ) -> Dict:
     rubric = RUBRICS[rubric_name]
     preds = build_prediction_set(pred_file, rubric)
-    annotate(rubric, preds, output_dir, judge_fn)
+    annotate(rubric, preds, output_dir, judge_fn, workers=workers)
     return combine_and_score(output_dir, output_json, has_pred=rubric.has_pred)
 
 
@@ -304,13 +322,16 @@ def main():
     parser.add_argument("--output_json", default=None)
     parser.add_argument("--api_key", default=None)
     parser.add_argument("--model", default="gpt-3.5-turbo")
+    parser.add_argument("--num_tasks", type=int, default=8,
+                        help="concurrent judge requests (reference's "
+                             "multiprocessing pool size)")
     args = parser.parse_args()
 
     if not args.api_key:
         raise SystemExit("--api_key required (GPT judge needs OpenAI access)")
     judge = make_openai_judge(args.api_key, args.model)
     result = evaluate(args.rubric, args.pred_path, args.output_dir, judge,
-                      args.output_json)
+                      args.output_json, workers=args.num_tasks)
     for k, v in result.items():
         print(f"{k}: {v}")
 

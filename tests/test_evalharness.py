@@ -221,6 +221,37 @@ def test_gpt_eval_fake_judge(tmp_path):
     assert len(calls) == n
 
 
+def test_gpt_eval_concurrent_retry(tmp_path):
+    """Thread-pool fan-out keeps the reference's resumable retry-round
+    semantics (evaluate_activitynet_qa.py:125-148): a sample whose judge
+    call fails is retried on the next round, and no .tmp litter survives."""
+    import threading
+
+    preds = [{"id": f"s{i}", "question": "q", "answer": "a", "pred": "a"}
+             for i in range(6)]
+    pf = tmp_path / "preds.json"
+    pf.write_text(json.dumps(preds))
+
+    seen_threads = set()
+    failed_once = []
+    lock = threading.Lock()
+
+    def flaky_judge(messages):
+        with lock:
+            seen_threads.add(threading.get_ident())
+            if not failed_once:
+                failed_once.append(True)
+                raise RuntimeError("transient judge error")
+        return "{'pred': 'yes', 'score': 5}"
+
+    res = evaluate("activitynet_qa", str(pf), str(tmp_path / "ann"),
+                   flaky_judge, workers=4)
+    assert res["count"] == 6 and res["accuracy"] == 1.0
+    leftovers = [f for f in os.listdir(tmp_path / "ann") if f.endswith(".tmp")]
+    assert leftovers == []
+    assert len(seen_threads) >= 1  # fan-out path exercised
+
+
 def test_rubric_prompts_match_reference_text():
     r = RUBRICS["correctness"]
     assert "factually consistent" in r.system
