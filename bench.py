@@ -2,14 +2,18 @@
 (full-size EVA-ViT-g + InstructBLIP Q-Former + llama_proj, 64-frame
 MVBench-style video on ONE chip).
 
-Headline = the int8 (W8A8 dynamic-quant) serving stack; bf16 reported
-alongside. int8 answer-equivalence evidence: script/int8_equivalence.py /
-EQUIV_INT8.json — greedy-answer flips vs bf16 occur only when the bf16
-top1-top2 logit margin is < 0.32 (trained-model multiple-choice margins sit
-far above), and the reference itself serves in reduced precision (fp16 ViT,
+Headline = the int8 serving stack with CALIBRATED static activation scales
+(ops/quant.py static section, models/vit.py:calibrate_vit_scales):
+quantization fuses into the producers, so no standalone activation-quant
+kernels remain. Dynamic-scale int8 and bf16 reported alongside. int8
+answer-equivalence evidence: script/int8_equivalence.py / EQUIV_INT8.json —
+greedy-answer flips vs bf16 occur only when the bf16 top1-top2 logit margin
+is < 0.32 (trained-model multiple-choice margins sit far above), and the
+reference itself serves in reduced precision (fp16 ViT,
 stllm/models/eva_vit.py:440-442).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "bf16_fps"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"int8_dynamic_fps", "bf16_fps"}.
 
 Baseline: the reference encodes all 64 frames of a video in one
 `encode_img` call (reference: stllm/models/st_llm.py:321-377) with eager
@@ -29,7 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from stllm_tpu.models.stllm import STLLMConfig, encode_img, init_stllm
-from stllm_tpu.models.vit import EVA_VIT_G, quantize_vit_params
+from stllm_tpu.models.vit import (
+    EVA_VIT_G, calibrate_vit_scales, quantize_vit_params)
 
 REFERENCE_A100_FPS = 200.0
 FRAMES = 64
@@ -66,12 +71,17 @@ def main():
 
     bf16_fps = measure(cfg, params, frames, q_ids, q_mask)
 
+    # dynamic-scale int8 (368 fr/s) is documented in DESIGN.md; bench keeps
+    # to two measurements so the driver's time budget holds
     params["vit"] = quantize_vit_params(params["vit"], free_dense=True)
+    params["vit"] = calibrate_vit_scales(
+        params["vit"], frames.reshape(FRAMES, cfg.vit.image_size,
+                                      cfg.vit.image_size, 3)[:16], cfg.vit)
     int8_fps = measure(cfg, params, frames, q_ids, q_mask)
 
     print(json.dumps({
         "metric": "frames/sec/chip ViT+Q-Former encode (64-frame video, "
-                  "int8 W8A8 serving stack; see EQUIV_INT8.json)",
+                  "int8 W8A8 static-scale serving stack; see EQUIV_INT8.json)",
         "value": round(int8_fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(int8_fps / REFERENCE_A100_FPS, 3),

@@ -110,13 +110,18 @@ def main():
     bf16_out, bf16_margins = run_samples(params, cfg, samples, "bf16")
 
     # convert IN PLACE to the full int8 serving stack (dense 7B + quantized
-    # copies cannot coexist on a 16 GB chip)
+    # copies cannot coexist on a 16 GB chip). The ViT uses the headline
+    # STATIC activation scales, calibrated on the first 4 samples' frames —
+    # so most of the evaluated samples are out-of-calibration data.
     from stllm_tpu.models.llama import quantize_llama_params
-    from stllm_tpu.models.vit import quantize_vit_params
+    from stllm_tpu.models.vit import calibrate_vit_scales, quantize_vit_params
 
     cfg_q = dataclasses.replace(
         cfg, llama=dataclasses.replace(cfg.llama, kv_int8=True))
     params["vit"] = quantize_vit_params(params["vit"], free_dense=True)
+    calib = np.concatenate([s["frames"][0] for s in samples[:4]], axis=0)
+    params["vit"] = calibrate_vit_scales(
+        params["vit"], jnp.asarray(calib), cfg.vit)
     params["llama"] = quantize_llama_params(params["llama"], free_dense=True)
 
     int8_out, _ = run_samples(params, cfg_q, samples, "int8")
@@ -151,7 +156,7 @@ def main():
         "median_top2_margin_bf16": round(med, 4),
         "max_margin_flipped": round(max_flip_margin, 4),
         "first_token_match_above_median_margin": match_above_med,
-        "int8_stack": "W8A8 ViT + W8A8 LLaMA + int8 KV cache",
+        "int8_stack": "W8A8 static-scale ViT + W8A8 LLaMA + int8 KV cache",
     }))
 
 

@@ -105,6 +105,74 @@ def quantize_vit_params(params: Dict, free_dense: bool = False) -> Dict:
     return out
 
 
+def calibrate_vit_scales(params_q: Dict, images: jax.Array, cfg: ViTConfig,
+                         margin: float = 1.0) -> Dict:
+    """Static-W8A8 calibration: run the dynamic-quant forward on a
+    calibration batch, record the per-TENSOR amax of each quantized matmul
+    input (qkv_in, fc1_in, fc2_in; the attention output keeps free in-kernel
+    dynamic quant), and attach the resulting scales to a copy of
+    ``params_q`` as ``block["act_scales"]`` — which switches vit_forward to
+    the fully-fused static path (_vit_block_quant_static). ``margin``
+    head-rooms the scales; out-of-range activations saturate.
+
+    The per-tensor amax is recovered from the dynamic path's own per-row
+    scales (amax = 127 * max(row_scales)), so calibration costs one ordinary
+    dynamic-int8 forward. The per-BLOCK stats function is jitted once and
+    reused for all depth blocks (identical shapes -> one compilation), which
+    keeps calibration compile time negligible next to the encode compile.
+    The reference has no quantization at all (fp16 ViT,
+    stllm/models/eva_vit.py:440-442); this mirrors standard static-quant
+    serving practice on TPU."""
+    from stllm_tpu.ops.quant import gelu_quant, layer_norm_quant, quant_matmul_pre
+
+    if images.dtype == jnp.uint8:  # same on-device normalize as encode_img
+        from stllm_tpu.data.processors import CLIP_MEAN, CLIP_STD
+
+        mean = jnp.asarray(CLIP_MEAN, jnp.float32) * 255.0
+        std = jnp.asarray(CLIP_STD, jnp.float32) * 255.0
+        images = ((images.astype(jnp.float32) - mean) / std).astype(cfg.dtype)
+
+    @jax.jit
+    def prologue(images):
+        x = patchify(images.astype(cfg.dtype), cfg.patch_size)
+        x = linear(params_q["patch_embed"], x)
+        cls = jnp.broadcast_to(params_q["cls_token"], (x.shape[0], 1, cfg.width)).astype(x.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+        return x + params_q["pos_embed"].astype(x.dtype)
+
+    @jax.jit
+    def block_stats(block, x):
+        hq, hs = layer_norm_quant(block["norm1"], x, cfg.ln_eps)
+        qkv_bias = jnp.concatenate(
+            [block["q_bias"], jnp.zeros_like(block["q_bias"]), block["v_bias"]])
+        qkv = quant_matmul_pre(hq, hs, {**block["qkv"], "b": qkv_bias}, x.dtype)
+        oq, os_ = fused_qkv_attention_quant(qkv, cfg.heads, cfg.head_dim)
+        x = x + quant_matmul_pre(oq, os_, block["proj"], x.dtype)
+        hq2, hs2 = layer_norm_quant(block["norm2"], x, cfg.ln_eps)
+        h = quant_matmul_pre(hq2, hs2, block["fc1"], x.dtype)
+        gq, gs = gelu_quant(h, approx=cfg.gelu_approx)
+        h = quant_matmul_pre(gq, gs, block["fc2"], x.dtype)
+        return x + h, {"qkv": 127.0 * jnp.max(hs),
+                       "fc1": 127.0 * jnp.max(hs2),
+                       "fc2": 127.0 * jnp.max(gs)}
+
+    x = prologue(images)
+    stats = []
+    for block in params_q["blocks"]:
+        x, st = block_stats(block, x)
+        stats.append(st)
+    out = dict(params_q)
+    out["blocks"] = []
+    for blk, st in zip(params_q["blocks"], stats):
+        b = dict(blk)
+        b["act_scales"] = {
+            k: jnp.float32(margin) * st[k].astype(jnp.float32) / 127.0
+            for k in ("qkv", "fc1", "fc2")
+        }
+        out["blocks"].append(b)
+    return out
+
+
 def patchify(images: jax.Array, patch: int) -> jax.Array:
     """(B, H, W, C) -> (B, h*w, patch*patch*C), row-major patches.
 
@@ -177,7 +245,47 @@ def _vit_block_quant(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
     return x + h
 
 
+def _vit_block_quant_static(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
+    """int8 block with CALIBRATED per-tensor activation scales
+    (block["act_scales"], see calibrate_vit_scales): quantization is
+    elementwise, so LayerNorm emits int8 from its own fusion and
+    GELU+quantize folds into the fc1 matmul epilogue — no separate
+    activation-quant kernels at all (ops/quant.py static section). The
+    attention output keeps the free in-kernel dynamic quant."""
+    from stllm_tpu.ops.quant import (
+        layer_norm_quant_static, quant_matmul_pre, quant_mlp_static,
+        quantize_activations)
+
+    b, n, d = x.shape
+    sc = block["act_scales"]
+    hq = layer_norm_quant_static(block["norm1"], x, sc["qkv"], cfg.ln_eps)
+    qkv_bias = jnp.concatenate(
+        [block["q_bias"], jnp.zeros_like(block["q_bias"]), block["v_bias"]]
+    )
+    qkv = quant_matmul_pre(hq, sc["qkv"], {**block["qkv"], "b": qkv_bias},
+                           x.dtype)
+    if cfg.use_flash is None:
+        oq, os_ = fused_qkv_attention_quant(qkv, cfg.heads, cfg.head_dim)
+    else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = flash_attention(
+            q.reshape(b, n, cfg.heads, cfg.head_dim),
+            k.reshape(b, n, cfg.heads, cfg.head_dim),
+            v.reshape(b, n, cfg.heads, cfg.head_dim),
+            use_pallas=cfg.use_flash,
+        )
+        oq, os_ = quantize_activations(out.reshape(b, n, d))
+    x = x + quant_matmul_pre(oq, os_, block["proj"], x.dtype)
+
+    hq = layer_norm_quant_static(block["norm2"], x, sc["fc1"], cfg.ln_eps)
+    h = quant_mlp_static(hq, sc["fc1"], block["fc1"], sc["fc2"], block["fc2"],
+                         x.dtype, approx=cfg.gelu_approx)
+    return x + h
+
+
 def vit_block(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
+    if "act_scales" in block:  # static-scale int8 (calibrate_vit_scales)
+        return _vit_block_quant_static(block, x, cfg)
     if "w_q" in block["fc1"]:  # int8 inference block (quantize_vit_params)
         return _vit_block_quant(block, x, cfg)
     x = x + _attention(block, layer_norm(block["norm1"], x, cfg.ln_eps), cfg)

@@ -308,6 +308,60 @@ def quant_matmul_pre(x_q: jax.Array, x_scale: jax.Array, params_q: Dict,
     return y.astype(out_dtype)
 
 
+# ---------------------------------------------------------------------------
+# Static (calibrated) activation scales
+#
+# Dynamic per-row quantization needs a data-dependent amax reduction before
+# the scale divide, which forces the activation through HBM once per matmul
+# even with the producer-fused Pallas kernels above (measured ~39 ms of the
+# 64-frame int8 ViT encode: 20 ms LN-quant + 19 ms gelu-quant). A static
+# per-tensor scale makes quantization purely ELEMENTWISE, so XLA fuses it
+# into whatever produced the activation: LayerNorm emits int8 from its own
+# fusion, and GELU+quantize folds into the preceding matmul's epilogue — the
+# fp32/bf16 intermediate never touches HBM. Scales come from a calibration
+# pass (models/vit.py:calibrate_vit_scales); out-of-range activations are
+# saturated (clip to ±127), the standard static-W8A8 serving contract.
+# ---------------------------------------------------------------------------
+
+def quantize_static(x: jax.Array, scale) -> jax.Array:
+    """Elementwise static-scale symmetric int8: round(x/scale), saturating.
+    ``scale`` is a scalar (per-tensor); fuses into the producer of ``x``."""
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127
+                    ).astype(jnp.int8)
+
+
+def layer_norm_quant_static(params: Dict, x: jax.Array, scale, eps: float = 1e-6
+                            ) -> jax.Array:
+    """LayerNorm -> static int8 in one XLA fusion, fp32 throughout (no bf16
+    intermediate; same stats policy as ops.layers.layer_norm)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return quantize_static(y, scale)
+
+
+def quant_mlp_static(hq: jax.Array, in_scale, fc1_q: Dict, gelu_scale,
+                     fc2_q: Dict, out_dtype, *, approx: bool = False
+                     ) -> jax.Array:
+    """fc1 -> GELU -> quantize -> fc2 with static scales: the whole
+    scale+bias+GELU+quantize chain is elementwise on the fc1 accumulator, so
+    XLA fuses it into the dot epilogue and only int8 reaches HBM between the
+    two matmuls."""
+    y = jax.lax.dot_general(
+        hq.astype(jnp.bfloat16), fc1_q["w_q"].astype(jnp.bfloat16),
+        (((hq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    y = y * (in_scale * fc1_q["w_scale"].astype(jnp.float32))
+    if "b" in fc1_q:
+        y = y + fc1_q["b"].astype(jnp.float32)
+    g = jax.nn.gelu(y, approximate=approx)
+    return quant_matmul_pre(quantize_static(g, gelu_scale), gelu_scale,
+                            fc2_q, out_dtype)
+
+
 def quantize_tree_linears(tree, free_dense: bool = False):
     """Recursively convert every linear param dict ({'w': 2-D array, ...})
     in a pytree to W8A8 form. Non-linear leaves (norms, embeddings, biases)

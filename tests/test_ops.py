@@ -249,6 +249,69 @@ class TestQuantMatmul:
         rel = float(jnp.abs(qout - dense).mean() / jnp.abs(dense).mean())
         assert rel < 0.02, rel
 
+    def test_static_scale_primitives(self):
+        """quantize_static saturates; layer_norm_quant_static and
+        quant_mlp_static match their unfused counterparts exactly when the
+        static scale equals the dynamic per-tensor amax."""
+        from stllm_tpu.ops.layers import layer_norm
+        from stllm_tpu.ops.quant import (
+            layer_norm_quant_static, quant_matmul_pre, quant_mlp_static,
+            quantize_linear_params, quantize_static)
+
+        rng = jax.random.PRNGKey(30)
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        x = jax.random.normal(k1, (2, 32, 128), jnp.float32)
+
+        # saturation: values beyond ±127*scale clip instead of wrapping
+        q = quantize_static(jnp.float32([[-500.0, 0.5, 500.0]]), 1.0)
+        assert q.dtype == jnp.int8 and q.tolist() == [[-127, 0, 127]]
+
+        p = {"scale": jax.random.normal(k2, (128,)),
+             "bias": jax.random.normal(k3, (128,))}
+        ln = layer_norm(p, x, 1e-6)
+        s = float(jnp.max(jnp.abs(ln)) / 127.0)
+        got = layer_norm_quant_static(p, x, s, 1e-6)
+        want = quantize_static(layer_norm(p, x.astype(jnp.float32), 1e-6), s)
+        assert int(np.asarray(got != want).sum()) == 0
+
+        fc1 = quantize_linear_params(
+            {"w": jax.random.normal(k4, (128, 256)) / 11.3,
+             "b": jnp.zeros((256,), jnp.float32)})
+        fc2 = quantize_linear_params(
+            {"w": jax.random.normal(k1, (256, 128)) / 16.0})
+        h = quant_matmul_pre(got, s, fc1, jnp.float32)
+        g = jax.nn.gelu(h, approximate=True)
+        s2 = float(jnp.max(jnp.abs(g)) / 127.0)
+        fused = quant_mlp_static(got, s, fc1, s2, fc2, jnp.float32, approx=True)
+        unfused = quant_matmul_pre(quantize_static(g, s2), s2, fc2, jnp.float32)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_calibrated_static_vit_drift(self):
+        """calibrate_vit_scales attaches act_scales and the static forward
+        stays close to both the dynamic-int8 and dense outputs — including
+        on data it was NOT calibrated on (saturation, not wraparound)."""
+        from stllm_tpu.models.vit import (
+            ViTConfig, calibrate_vit_scales, init_vit, quantize_vit_params,
+            vit_forward)
+
+        cfg = ViTConfig(image_size=56, patch_size=14, width=256, depth=2,
+                        heads=4, mlp_hidden=512, dtype=jnp.float32)
+        params = init_vit(jax.random.PRNGKey(27), cfg)
+        imgs = jax.random.normal(jax.random.PRNGKey(28), (2, 56, 56, 3))
+        dense = vit_forward(params, imgs, cfg)
+        pq = quantize_vit_params(params)
+        ps = calibrate_vit_scales(pq, imgs, cfg)
+        assert all("act_scales" in b for b in ps["blocks"])
+        stat = vit_forward(ps, imgs, cfg)
+        rel = float(jnp.abs(stat - dense).mean() / jnp.abs(dense).mean())
+        assert rel < 0.02, rel
+        fresh = 1.5 * jax.random.normal(jax.random.PRNGKey(29), (2, 56, 56, 3))
+        rel2 = float(jnp.abs(vit_forward(ps, fresh, cfg)
+                             - vit_forward(params, fresh, cfg)).mean()
+                     / jnp.abs(vit_forward(params, fresh, cfg)).mean())
+        assert rel2 < 0.03, rel2
+
 
 def test_layer_norm_matches_torch():
     torch = pytest.importorskip("torch")
