@@ -1,0 +1,98 @@
+"""Beam-vs-greedy decode latency on the 7B model, one chip.
+
+QA-bench decodes with num_beams=5 (reference: stllm/test/qabench/msvd_qa.py:111-115),
+so beam latency is a benchmarked path. Round 1 left beam paying a per-token
+host sync (~30 ms tunnel round-trip); the on-device chunked beam loop
+(models/generation.py:_beam_chunk_device, 16 steps/device call) is supposed
+to close that to within ~1.5x of greedy's ms/token. This script records the
+actual numbers: 512-token prompt (QA-bench scale), 32 new tokens, bf16 7B,
+random weights (latency is weight-value independent).
+
+Run: python script/bench_beam.py        (needs the real TPU chip)
+Prints one JSON line with greedy/beam ms-per-token and the ratio.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stllm_tpu.models.generation import GenerationConfig, beam_search, generate
+from stllm_tpu.models.llama import VICUNA_7B, init_llama
+from stllm_tpu.models.stllm import STLLMConfig
+
+PROMPT = 512
+NEW = 32
+ITERS = 5
+
+
+def main():
+    cfg = STLLMConfig().llama  # Vicuna-7B dims
+    params = init_llama(jax.random.PRNGKey(0), cfg)
+    # int8 weights for BOTH paths: the bf16 beam-chunk program's hoisted
+    # weight-layout copies put the compile-time estimate ~0.5 GB over the
+    # 16 GB chip (13.5 GB weights + ~2.4 GB program temps); int8 is the
+    # serving stack QA-bench ships anyway, and the beam-vs-greedy RATIO is
+    # what this script exists to record.
+    from stllm_tpu.models.llama import quantize_llama_params
+
+    params = quantize_llama_params(params, free_dense=True)
+    rng = np.random.default_rng(0)
+    embeds = jnp.asarray(rng.normal(size=(1, PROMPT, cfg.hidden)) * 0.02,
+                         cfg.dtype)
+    mask = jnp.ones((1, PROMPT), jnp.int32)
+
+    # no eos/stops: force the full NEW tokens every iter for stable timing
+    greedy_gen = GenerationConfig(max_new_tokens=NEW, stop_sequences=(),
+                                  eos_token_id=-1)
+    beam_gen = GenerationConfig(max_new_tokens=NEW, stop_sequences=(),
+                                eos_token_id=-1, num_beams=5,
+                                length_penalty=1.0)
+
+    def run_greedy():
+        out = generate(params, embeds, attention_mask=mask,
+                       llama_cfg=cfg, gen=greedy_gen)
+        assert len(out[0]) == NEW
+        return out
+
+    def run_beam():
+        out = beam_search(params, embeds, mask, llama_cfg=cfg, gen=beam_gen)
+        assert len(out) == NEW
+        return out
+
+    def time_fn(fn):
+        fn()  # compile + warmup
+        fn()
+        times = []
+        for _ in range(ITERS):
+            t0 = time.perf_counter()
+            fn()
+            times.append((time.perf_counter() - t0) * 1000)
+        return float(np.percentile(times, 50))
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+    out = {"metric": "7B decode ms/token (int8 weights, 512-token prompt, 32 new, one chip)"}
+    if mode in ("both", "greedy"):
+        greedy_ms = time_fn(run_greedy)
+        out["greedy_ms_per_token"] = round(greedy_ms / NEW, 2)
+        out["greedy_total_ms"] = round(greedy_ms, 1)
+    if mode in ("both", "beam"):
+        # drop the greedy executables: their weight-layout-copy temps plus
+        # the beam program's would exceed the 16 GB chip during compile
+        jax.clear_caches()
+        beam_ms = time_fn(run_beam)
+        out["beam5_ms_per_token"] = round(beam_ms / NEW, 2)
+        out["beam5_total_ms"] = round(beam_ms, 1)
+    if mode == "both":
+        out["beam_over_greedy"] = round(beam_ms / greedy_ms, 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
