@@ -22,6 +22,7 @@ from stllm_tpu.models.qformer import (  # noqa: F401
 from stllm_tpu.models.stllm import (  # noqa: F401
     STLLMConfig,
     encode_img,
+    encode_img_mapped,
     encode_video_for_inference,
     init_stllm,
     stllm_forward,

@@ -112,6 +112,22 @@ def test_encode_img_shapes(params):
     assert out.shape == (B, T, TINY.num_query, TINY.llama.hidden)
 
 
+def test_encode_img_mapped_matches_naive(params):
+    """encode_img_mapped (sequential per-video lax.map, the batched-eval
+    path) produces the same embeddings as the naive batched encode_img."""
+    from stllm_tpu.models.stllm import encode_img_mapped
+
+    ids = jnp.asarray(np.random.default_rng(1).integers(0, 64, (B, 5)), jnp.int32)
+    mask = jnp.ones((B, 5), jnp.int32)
+    naive = encode_img(params, _frames(), TINY, ids, mask)
+    mapped = encode_img_mapped(params, _frames(), TINY, ids, mask)
+    np.testing.assert_allclose(np.asarray(mapped), np.asarray(naive),
+                               rtol=2e-5, atol=2e-5)
+    # no-question path + B=1 passthrough
+    one = encode_img_mapped(params, _frames()[:1], TINY)
+    assert one.shape == (1, T, TINY.num_query, TINY.llama.hidden)
+
+
 def test_video_input_modes(params):
     img = jnp.asarray(np.random.default_rng(2).normal(size=(B, T, 4, 32)), jnp.float32)
     all_cfg = STLLMConfig(**{**TINY.__dict__, "video_input": "all"})
