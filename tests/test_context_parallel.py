@@ -53,14 +53,20 @@ def test_cp_with_padding_mask(setup):
 
 
 def test_cp_gradients(setup):
+    # 1 layer on a 2-way mesh: the grad-of-shard_map-ring compile is the
+    # suite's top cost (77 s at 2 layers x 4-way); forward equivalence
+    # above keeps the 2-layer 4-way coverage
     params, embeds = setup
+    cfg1 = LlamaConfig(**{**CFG.__dict__, "num_layers": 1})
+    params = {**params, "layers": params["layers"][:1]}
+    embeds = embeds[:, :32]  # 16 tokens per shard — grad graph scales with S
 
     def loss_cp(p):
-        return (context_parallel_forward(p, embeds, _mesh(), CFG,
+        return (context_parallel_forward(p, embeds, _mesh(2), cfg1,
                                          axis_name="cp") ** 2).sum()
 
     def loss_dense(p):
-        h, _ = llama_forward(p, inputs_embeds=embeds, cfg=CFG)
+        h, _ = llama_forward(p, inputs_embeds=embeds, cfg=cfg1)
         return (h ** 2).sum()
 
     g_cp = jax.grad(loss_cp)(params)

@@ -16,8 +16,8 @@ from stllm_tpu.ops.ring_attention import ring_attention
 B, S, H, D = 2, 64, 2, 16  # S sharded 4-way -> 16 per device
 
 
-def _mesh():
-    return Mesh(np.array(jax.devices()[:4]), ("sp",))
+def _mesh(n=4):
+    return Mesh(np.array(jax.devices()[:n]), ("sp",))
 
 
 def _rand(shape, seed):
@@ -25,8 +25,8 @@ def _rand(shape, seed):
                        jnp.float32)
 
 
-def _ring(q, k, v, causal, kv_mask=None):
-    mesh = _mesh()
+def _ring(q, k, v, causal, kv_mask=None, n=4):
+    mesh = _mesh(n)
     fn = functools.partial(ring_attention, axis_name="sp", causal=causal)
     specs = (P(None, "sp"), P(None, "sp"), P(None, "sp"))
     if kv_mask is not None:
@@ -59,10 +59,12 @@ def test_ring_with_kv_mask():
 
 
 def test_ring_gradients_flow():
+    # 2-way mesh: the vjp of the ppermute ring is the compile hot spot
+    # (31 s at 4-way); forward equivalence keeps the 4-way coverage above
     q, k, v = (_rand((B, S, H, D), i) for i in range(3))
 
     def loss_ring(q, k, v):
-        return (_ring(q, k, v, causal=True) ** 2).sum()
+        return (_ring(q, k, v, causal=True, n=2) ** 2).sum()
 
     def loss_ref(q, k, v):
         return (mha_reference(q, k, v, causal=True) ** 2).sum()
