@@ -51,6 +51,13 @@ def main():
         params["llama"] = quantize_llama_params(params["llama"], free_dense=True)
 
     rng = np.random.default_rng(0)
+    if int8:
+        # headline serving stack uses calibrated static activation scales
+        from stllm_tpu.models.vit import calibrate_vit_scales
+
+        calib = jnp.asarray(rng.integers(
+            0, 256, (16, cfg.vit.image_size, cfg.vit.image_size, 3)), jnp.uint8)
+        params["vit"] = calibrate_vit_scales(params["vit"], calib, cfg.vit)
     frames = jnp.asarray(
         rng.integers(0, 256, (1, FRAMES, cfg.vit.image_size, cfg.vit.image_size, 3)),
         jnp.uint8,
