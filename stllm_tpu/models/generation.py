@@ -84,6 +84,19 @@ def _decode_step_greedy(params, token_ids, cache: KVCache, cfg: LlamaConfig):
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
 
+def _reorder_cache(cache: KVCache, reorder) -> KVCache:
+    """Gather beam rows in every per-layer buffer (layer-major pytree)."""
+    return KVCache(
+        k=tuple(a[reorder] for a in cache.k),
+        v=tuple(a[reorder] for a in cache.v),
+        length=cache.length[reorder],
+        k_scale=None if cache.k_scale is None
+        else tuple(a[reorder] for a in cache.k_scale),
+        v_scale=None if cache.v_scale is None
+        else tuple(a[reorder] for a in cache.v_scale),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "k"), donate_argnums=(3,))
 def _decode_step_topk_prefix(params, token_ids, prefix: KVCache,
                              gen_cache: KVCache, reorder, cfg: LlamaConfig,
@@ -96,14 +109,7 @@ def _decode_step_topk_prefix(params, token_ids, prefix: KVCache,
     (B, vocab) logits."""
     from stllm_tpu.models.llama import llama_decode_prefix
 
-    gen_cache = KVCache(
-        k=gen_cache.k[:, reorder], v=gen_cache.v[:, reorder],
-        length=gen_cache.length[reorder],
-        k_scale=None if gen_cache.k_scale is None
-        else gen_cache.k_scale[:, reorder],
-        v_scale=None if gen_cache.v_scale is None
-        else gen_cache.v_scale[:, reorder],
-    )
+    gen_cache = _reorder_cache(gen_cache, reorder)
     embeds = params["embed_tokens"][token_ids][:, None].astype(cfg.dtype)
     hidden, gen_cache = llama_decode_prefix(params, embeds, prefix, gen_cache, cfg)
     logits = lm_head(params, hidden)[:, 0]
@@ -472,14 +478,7 @@ def _beam_chunk_device(params, state: _BeamState, prefix: KVCache,
     def body(carry, _):
         state, cache = carry
         alive = (state.fin_count < k) & ~state.no_survivors
-        cache = KVCache(
-            k=cache.k[:, state.reorder], v=cache.v[:, state.reorder],
-            length=cache.length[state.reorder],
-            k_scale=None if cache.k_scale is None
-            else cache.k_scale[:, state.reorder],
-            v_scale=None if cache.v_scale is None
-            else cache.v_scale[:, state.reorder],
-        )
+        cache = _reorder_cache(cache, state.reorder)
         embeds = params["embed_tokens"][state.last_token][:, None].astype(cfg.dtype)
         hidden, cache = llama_decode_prefix(params, embeds, prefix, cache, cfg)
         logits = lm_head(params, hidden)[:, 0]

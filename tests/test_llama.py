@@ -213,7 +213,7 @@ def test_int8_kv_cache_decode(hf_and_jax):
 
     dense, cache_d = prefill_with_cache(params, emb, mask, 16, TINY)
     quant, cache_q = prefill_with_cache(params, emb, mask, 16, cfg_q)
-    assert cache_q.k.dtype == jnp.int8 and cache_q.k_scale is not None
+    assert cache_q.k[0].dtype == jnp.int8 and cache_q.k_scale is not None
     ld = np.asarray(lm_head(params, dense), np.float32)
     lq = np.asarray(lm_head(params, quant), np.float32)
     rel = np.abs(lq - ld).mean() / (np.abs(ld).mean() + 1e-9)
