@@ -40,18 +40,21 @@ NEG_INF = -1e30
 
 
 class H2OCache(NamedTuple):
-    """(L, B, budget, ...) slot arrays. ``pos`` is the absolute sequence
-    position held by each slot, -1 = empty. ``mass`` is the accumulated
-    attention probability each slot's token has received (summed over heads
-    and steps). ``next_pos`` (B,) is the next absolute position; ``filled``
-    (L, B) counts occupied slots (prefill fills compactly)."""
+    """Layer-major pytree of (B, budget, ...) slot arrays (length-L tuples —
+    same rationale as KVCache: per-layer buffers alias donated in-place
+    updates; a stacked array forces a whole-cache copy per decode step).
+    ``pos`` is the absolute sequence position held by each slot, -1 = empty.
+    ``mass`` is the accumulated attention probability each slot's token has
+    received (summed over heads and steps). ``next_pos`` (B,) is the next
+    absolute position; ``filled`` counts occupied slots per layer (prefill
+    fills compactly)."""
 
-    k: jax.Array          # (L, B, budget, H, D)
-    v: jax.Array          # (L, B, budget, H, D)
-    pos: jax.Array        # (L, B, budget) int32
-    mass: jax.Array       # (L, B, budget) fp32
-    next_pos: jax.Array   # (B,) int32
-    filled: jax.Array     # (L, B) int32
+    k: Tuple[jax.Array, ...]     # L x (B, budget, H, D)
+    v: Tuple[jax.Array, ...]     # L x (B, budget, H, D)
+    pos: Tuple[jax.Array, ...]   # L x (B, budget) int32
+    mass: Tuple[jax.Array, ...]  # L x (B, budget) fp32
+    next_pos: jax.Array          # (B,) int32
+    filled: Tuple[jax.Array, ...]  # L x (B,) int32
     recent: int = 32      # static: slots within this window are unevictable
 
 
@@ -111,7 +114,7 @@ def h2o_decode_step(params: Dict, token_ids: jax.Array, cache: H2OCache,
         ck, cv, pos, mass, filled = _evict_slot(
             (cache.k[i], cache.v[i], cache.pos[i], cache.mass[i],
              cache.filled[i]),
-            k.astype(cache.k.dtype), v.astype(cache.v.dtype),
+            k.astype(cache.k[i].dtype), v.astype(cache.v[i].dtype),
             cache.next_pos, cache.recent)
 
         out, probs = _attend_slots(q, ck.astype(x.dtype), cv.astype(x.dtype),
@@ -128,9 +131,9 @@ def h2o_decode_step(params: Dict, token_ids: jax.Array, cache: H2OCache,
     x = rms_norm(params["norm"], x, cfg.rms_eps)
     logits = lm_head(params, x)[:, 0]
     cache = H2OCache(
-        k=jnp.stack(new_k), v=jnp.stack(new_v), pos=jnp.stack(new_pos),
-        mass=jnp.stack(new_mass), next_pos=cache.next_pos + 1,
-        filled=jnp.stack(new_filled), recent=cache.recent,
+        k=tuple(new_k), v=tuple(new_v), pos=tuple(new_pos),
+        mass=tuple(new_mass), next_pos=cache.next_pos + 1,
+        filled=tuple(new_filled), recent=cache.recent,
     )
     return logits, cache
 
@@ -208,9 +211,9 @@ def h2o_prefill(params: Dict, inputs_embeds: jax.Array, attention_mask,
         cfill.append(valid_l.sum(axis=-1).astype(jnp.int32))
 
     cache = H2OCache(
-        k=jnp.stack(ck), v=jnp.stack(cv), pos=jnp.stack(cpos),
-        mass=jnp.stack(cmass), next_pos=lengths,
-        filled=jnp.stack(cfill), recent=recent,
+        k=tuple(ck), v=tuple(cv), pos=tuple(cpos),
+        mass=tuple(cmass), next_pos=lengths,
+        filled=tuple(cfill), recent=recent,
     )
     return x, cache
 

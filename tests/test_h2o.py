@@ -70,14 +70,14 @@ def test_eviction_bounds_cache_and_stays_coherent(setup):
     params, emb, mask = setup
     budget, recent = 8, 3
     _, cache = h2o_prefill(params, emb, mask, TINY, budget=budget, recent=recent)
-    assert cache.k.shape == (TINY.num_layers, 2, budget, TINY.heads,
-                             TINY.head_dim)
+    assert len(cache.k) == TINY.num_layers
+    assert cache.k[0].shape == (2, budget, TINY.heads, TINY.head_dim)
     cur = jnp.asarray([5, 7], jnp.int32)
     for _ in range(10):
         logits, cache = h2o_decode_step(params, cur, cache, TINY)
         cur = jnp.argmax(logits, -1).astype(jnp.int32)
-        assert cache.k.shape[2] == budget
-        assert bool(jnp.all(cache.filled <= budget))
+        assert cache.k[0].shape[1] == budget
+        assert all(bool(jnp.all(f <= budget)) for f in cache.filled)
     # every slot occupied, and the newest `recent` positions are resident
     pos = np.asarray(cache.pos)
     newest = int(cache.next_pos[0]) - 1
