@@ -3,10 +3,10 @@
 QA-bench decodes with num_beams=5 (reference: stllm/test/qabench/msvd_qa.py:111-115),
 so beam latency is a benchmarked path. Round 1 left beam paying a per-token
 host sync (~30 ms tunnel round-trip); the on-device chunked beam loop
-(models/generation.py:_beam_chunk_device, 16 steps/device call) is supposed
-to close that to within ~1.5x of greedy's ms/token. This script records the
-actual numbers: 512-token prompt (QA-bench scale), 32 new tokens, bf16 7B,
-random weights (latency is weight-value independent).
+(models/generation.py:_beam_chunk_device, 16 steps/device call) closes that
+to ~2x one greedy stream for 5 simultaneous hypotheses. This script records
+the actual numbers: 512-token prompt (QA-bench scale), 32 new tokens, int8
+7B (see main()), random weights (latency is weight-value independent).
 
 Run: python script/bench_beam.py        (needs the real TPU chip)
 Prints one JSON line with greedy/beam ms-per-token and the ratio.
