@@ -96,12 +96,44 @@ def quantize_vit_params(params: Dict, free_dense: bool = False) -> Dict:
     from stllm_tpu.ops.quant import quantize_linear_params
 
     out = dict(params)
+    branch_dense = []
+    if "btadapter" in params:
+        # BTAdapter branch (models/btadapter.py): temporal + spatial blocks
+        # run their matmuls through ops.layers.linear, which dispatches to
+        # quant_linear on quantized dicts — dynamic W8A8 (the branch is ~14%
+        # of encode; the trunk gets the static-scale path via
+        # calibrate_vit_scales, whose plain-ViT stats are exact for the
+        # trunk because the branch never feeds back into it).
+        # Quantized FIRST, without freeing: at init the spatial blocks SHARE
+        # buffers with the last trunk blocks (init_btadapter copies by
+        # reference), so the trunk's streaming free below would delete
+        # arrays the branch still needs. Branch dense weights that survive
+        # the trunk pass (separately-loaded checkpoints) are freed at the
+        # end.
+        def q(p):
+            if free_dense:
+                branch_dense.append(p["w"])
+            return quantize_linear_params(p, free_dense=False)
+
+        bt = dict(params["btadapter"])
+        bt["temp"] = [
+            {**t, **{n: q(t[n]) for n in ("qkv", "proj", "temporal_fc")}}
+            for t in bt["temp"]
+        ]
+        bt["spatial"] = [
+            {**sp, **{n: q(sp[n]) for n in ("qkv", "proj", "fc1", "fc2")}}
+            for sp in bt["spatial"]
+        ]
+        out["btadapter"] = bt
     out["blocks"] = []
     for blk in params["blocks"]:
         b = dict(blk)
         for name in ("qkv", "proj", "fc1", "fc2"):
             b[name] = quantize_linear_params(blk[name], free_dense=free_dense)
         out["blocks"].append(b)
+    for w in branch_dense:
+        if isinstance(w, jax.Array) and not w.is_deleted():
+            w.delete()
     return out
 
 

@@ -43,6 +43,27 @@ def test_output_shape(params):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_quantized_btadapter_drift(params):
+    """int8 BTAdapter (trunk + branch quantized, then trunk calibrated to
+    static scales) stays close to the dense forward — the serving path for
+    the reference's btadapter QA config."""
+    from stllm_tpu.models.vit import calibrate_vit_scales, quantize_vit_params
+
+    dense = btadapter_forward(params, _frames(), CFG, num_frames=T)
+    pq = quantize_vit_params(params)
+    assert "w_q" in pq["btadapter"]["temp"][0]["qkv"]
+    assert "w_q" in pq["btadapter"]["spatial"][0]["fc1"]
+    qout = btadapter_forward(pq, _frames(), CFG, num_frames=T)
+    rel = float(jnp.abs(qout - dense).mean() / jnp.abs(dense).mean())
+    assert rel < 0.02, rel
+
+    ps = calibrate_vit_scales(pq, _frames(), CFG)
+    assert all("act_scales" in b for b in ps["blocks"])  # trunk static
+    sout = btadapter_forward(ps, _frames(), CFG, num_frames=T)
+    rel_s = float(jnp.abs(sout - dense).mean() / jnp.abs(dense).mean())
+    assert rel_s < 0.03, rel_s
+
+
 def test_spatial_blocks_copy_trunk(params):
     for i, sp in enumerate(params["btadapter"]["spatial"]):
         trunk = params["blocks"][CFG.depth - 2 + i]
