@@ -22,6 +22,7 @@ import json
 import tempfile
 import threading
 import uuid
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 PAGE = """<!doctype html>
@@ -121,8 +122,13 @@ class Session:
         self.img_list = []
 
 
+MAX_SESSIONS = 16  # each session holds full video embeddings on host
+
+
 def make_handler(chat):
-    sessions = {}
+    # LRU-capped: uploads from abandoned tabs would otherwise accumulate
+    # video embeddings forever (nothing expires them except /api/reset)
+    sessions = OrderedDict()
     lock = threading.Lock()  # one chip: serialize model calls
 
     class Handler(BaseHTTPRequestHandler):
@@ -175,12 +181,15 @@ def make_handler(chat):
                                       num_frame=segments)
             sid = uuid.uuid4().hex
             sessions[sid] = sess
+            while len(sessions) > MAX_SESSIONS:
+                sessions.popitem(last=False)  # evict least recently used
             return self._json({"session": sid})
 
         def _ask(self, req):
             sess = sessions.get(req.get("session"))
             if sess is None:
                 return self._json({"error": "unknown session (re-upload)"}, 400)
+            sessions.move_to_end(req["session"])  # mark recently used
             question = req["question"]
             num_beams = int(req.get("num_beams", 1))
             temperature = float(req.get("temperature", 1.0))

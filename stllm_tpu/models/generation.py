@@ -390,8 +390,12 @@ def _beam_transition(state: _BeamState, top_v, top_i, proto: _BeamProto,
     cand_token = top_i.reshape(-1)
     cand_parent = jnp.repeat(jnp.arange(k, dtype=jnp.int32), top_v.shape[1])
 
-    # min_length: exclude eos candidates entirely while step < min_length
-    if proto.min_length > 1:
+    # min_length: exclude eos candidates entirely while step < min_length.
+    # The host loop's `step < min_length` check fires at step 0 even for the
+    # default min_length=1, so gate on > 0 (not > 1); excluded candidates are
+    # dropped from the pool below via the isfinite mask, mirroring the host's
+    # `continue` (which removes them rather than treating them as finished).
+    if proto.min_length > 0:
         excl = (cand_token == proto.eos) & (state.step < proto.min_length)
         cand_score = jnp.where(excl, -jnp.inf, cand_score)
 
@@ -417,7 +421,7 @@ def _beam_transition(state: _BeamState, top_v, top_i, proto: _BeamProto,
     has_k = surv_cum[-1] >= k
     kth_pos = jnp.argmax(surv_cum == k)
     processed = jnp.where(has_k, kth_pos + 1, n_cand)
-    eligible = fin & (jnp.arange(n_cand) < processed)
+    eligible = fin & (jnp.arange(n_cand) < processed) & jnp.isfinite(sort_v)
 
     # pos_of_rank[r] = candidate index of the (r+1)-th survivor; finished or
     # rank>=k candidates scatter to the dropped index k

@@ -146,6 +146,12 @@ def h2o_prefill(params: Dict, inputs_embeds: jax.Array, attention_mask,
     layer, then keep the ``budget`` highest-mass tokens with the last
     ``recent`` always protected. Returns (hidden (B,S,d), compressed cache).
     """
+    if budget <= recent:
+        # _evict_slot's "lowest-mass outside the recency window" rule needs at
+        # least one unprotected slot; otherwise evict_score is all +inf and
+        # argmin would silently evict a protected recent token (slot 0).
+        raise ValueError(
+            f"h2o budget ({budget}) must exceed the recency window ({recent})")
     x = inputs_embeds.astype(cfg.dtype)
     b, s, _ = x.shape
     if attention_mask is None:

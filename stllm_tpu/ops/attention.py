@@ -878,6 +878,11 @@ def flash_attention(
                       # folded (B*H) batch must divide over an active kernel
                       # mesh (ops/spmd.py) for the shard_map wrapper
                       and (q.shape[0] * q.shape[2]) % kernel_shard_count() == 0)
+    elif use_pallas and (q.shape[0] * q.shape[2]) % kernel_shard_count() != 0:
+        # explicit use_pallas=True under an active kernel_sharding mesh whose
+        # shard count doesn't divide the folded batch would fail at trace time
+        # inside shard_map — fall back like the auto path does
+        use_pallas = False
     if not use_pallas:
         return mha_reference(
             q, k, v, causal=causal, q_mask=q_mask, kv_mask=kv_mask, scale=scale

@@ -291,6 +291,37 @@ def test_device_beam_matches_host_loop(hf_and_jax):
         assert got == want, (trial, got, want)
 
 
+def test_device_beam_step0_eos(hf_and_jax):
+    """Regression (round-3 ADVICE): with eos top-ranked at step 0 and the
+    default min_length=1, the host loop's `step < min_length` check excludes
+    eos at step 0 (removing the candidate entirely); the device beam must do
+    the same rather than returning [eos]."""
+    from stllm_tpu.models.generation import (
+        _beam_search_ondevice, _pad_prompt, beam_device_supported)
+
+    _, params = hf_and_jax
+    # bias the lm_head so eos (id 2) dominates every step-0 distribution
+    biased = jax.tree_util.tree_map(lambda x: x, params)
+    w = np.array(biased["lm_head"]["w"], np.float32)
+    w[:, 2] = np.abs(w).max() * 50.0
+    biased = dict(biased, lm_head={"w": jnp.asarray(w, params["lm_head"]["w"].dtype)})
+
+    rs = np.random.RandomState(7)
+    for trial in range(3):
+        gen = GenerationConfig(max_new_tokens=6, num_beams=3,
+                               stop_sequences=(), eos_token_id=2,
+                               pad_to_multiple=8)  # default min_length=1
+        assert beam_device_supported(gen)
+        emb = jnp.asarray((rs.randn(1, 5, TINY.hidden) * 0.05).astype(np.float32))
+        mask = jnp.ones((1, 5), jnp.int32)
+        e, m = _pad_prompt(emb, mask, gen.pad_to_multiple)
+        want = _host_beam(biased, e, m, gen)
+        got = _beam_search_ondevice(biased, e, m, llama_cfg=TINY, gen=gen,
+                                    chunk=3)
+        assert got == want, (trial, got, want)
+        assert want[0] != [2], "oracle itself must not emit bare eos"
+
+
 def _host_beam(params, embeds, mask, gen):
     """The original step-wise host beam loop body (kept in beam_search as the
     unsupported-config fallback); invoked directly here as the oracle."""
