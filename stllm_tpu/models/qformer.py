@@ -14,8 +14,15 @@ stllm/models/blip2.py:46-59). Faithful semantics:
     vs intermediate/output, Qformer.py:449-464);
   - post-norm residuals, LN eps 1e-12, exact GELU (bert-base-uncased).
 
-The decoder/UniLM path (BertLMHeadModel generation) is legacy in the reference
-main path and is not re-provided; ST-LLM only uses the encoder.
+The decoder/UniLM path is also provided (unused by the ST-LLM main path but
+part of the reference surface): ``unilm_attention_mask`` replicates the
+seq2seq causal+prefix mask of ``BertModel.get_extended_attention_mask``
+(reference: stllm/models/Qformer.py:713-802 — queries attend only queries,
+text attends all queries + causal text), and ``qformer_lm_forward`` /
+``qformer_lm_generate`` replicate ``BertLMHeadModel`` (reference:
+stllm/models/Qformer.py:968-1128): tied-embedding MLM head
+(transform dense -> GELU -> LN -> decoder tied to word embeddings + bias),
+shifted CE with label_smoothing=0.1 (reference :1079), greedy decode.
 
 Static shapes: query_len is a compile-time constant; text is padded and masked.
 """
@@ -101,13 +108,14 @@ def init_qformer(rng: jax.Array, cfg: QFormerConfig, text_input: bool = True) ->
 
 
 def _mha(attn_params: Dict, x: jax.Array, kv: jax.Array, cfg: QFormerConfig,
-         kv_mask: Optional[jax.Array]) -> jax.Array:
+         kv_mask: Optional[jax.Array], mask: Optional[jax.Array] = None
+         ) -> jax.Array:
     b, n, _ = x.shape
     m = kv.shape[1]
     q = linear(attn_params["q"], x).reshape(b, n, cfg.heads, cfg.head_dim)
     k = linear(attn_params["k"], kv).reshape(b, m, cfg.heads, cfg.head_dim)
     v = linear(attn_params["v"], kv).reshape(b, m, cfg.heads, cfg.head_dim)
-    out = mha_reference(q, k, v, kv_mask=kv_mask)
+    out = mha_reference(q, k, v, kv_mask=kv_mask, mask=mask)
     out = linear(attn_params["out"], out.reshape(b, n, cfg.hidden))
     return out
 
@@ -126,8 +134,13 @@ def qformer_forward(
     encoder_mask: Optional[jax.Array] = None,  # (B, S_img)
     query_embeds: Optional[jax.Array] = None,  # default: params["query_tokens"]
     cfg: QFormerConfig = INSTRUCT_BLIP_QFORMER,
+    self_attn_mask: Optional[jax.Array] = None,  # (B, Q+T, Q+T) bool, True=attend
 ) -> jax.Array:
-    """Returns (B, num_query + T, hidden); callers slice [:, :num_query]."""
+    """Returns (B, num_query + T, hidden); callers slice [:, :num_query].
+
+    ``self_attn_mask`` overrides the default bidirectional padding mask with
+    a full (from, to) mask — used by the UniLM decoder path
+    (unilm_attention_mask)."""
     b = encoder_hidden_states.shape[0]
     emb = params["embeddings"]
     if query_embeds is None:
@@ -153,8 +166,14 @@ def qformer_forward(
     # embedding LayerNorm applies to the full (query + text) concatenation
     x = layer_norm(emb["norm"], x, cfg.ln_eps)
 
+    if self_attn_mask is not None:
+        self_mask3, self_mask = self_attn_mask.astype(bool), None
+    else:
+        self_mask3 = None
+
     for i, layer in enumerate(params["layers"]):
-        att = _mha(layer["attention"], x, x, cfg, kv_mask=self_mask)
+        att = _mha(layer["attention"], x, x, cfg, kv_mask=self_mask,
+                   mask=self_mask3)
         x = _post_norm_residual(att, x, layer["attention"]["out_norm"], cfg.ln_eps)
 
         q_part, t_part = x[:, :q_len], x[:, q_len:]
@@ -177,3 +196,138 @@ def qformer_forward(
         else:
             x = q_part
     return x
+
+
+# ---------------------------------------------------------------------------
+# UniLM decoder path (reference: stllm/models/Qformer.py:713-802, :968-1128)
+# ---------------------------------------------------------------------------
+
+def unilm_attention_mask(attention_mask: jax.Array, query_len: int
+                         ) -> jax.Array:
+    """Seq2seq causal+prefix self-attention mask.
+
+    Replicates ``BertModel.get_extended_attention_mask(is_decoder=True,
+    has_query=True)`` (reference: stllm/models/Qformer.py:713-802): the
+    causal triangle is built over the TEXT positions, query rows are
+    prepended as ZEROS (queries never attend text), prefix COLUMNS are ones
+    (every position attends all queries), and the padding mask multiplies in
+    on the to-axis. ``attention_mask``: (B, query_len + T) 1=real. Returns
+    (B, query_len + T, query_len + T) boolean, True = attend.
+    """
+    b, total = attention_mask.shape
+    t = total - query_len
+    causal = jnp.tril(jnp.ones((t, t), bool))              # text x text
+    rows_q = jnp.zeros((query_len, t), bool)               # queries ban text
+    right = jnp.concatenate([rows_q, causal], axis=0)      # (Q+T, T)
+    left = jnp.ones((total, query_len), bool)              # all attend queries
+    full = jnp.concatenate([left, right], axis=1)          # (Q+T, Q+T)
+    return full[None] & attention_mask.astype(bool)[:, None, :]
+
+
+def init_qformer_lm(rng: jax.Array, cfg: QFormerConfig) -> Dict:
+    """init_qformer + the BertOnlyMLMHead params (reference Qformer.py's
+    ``cls.predictions``: transform dense -> GELU -> LN -> decoder tied to the
+    word embeddings, plus a free bias)."""
+    k1, k2 = jax.random.split(rng)
+    params = init_qformer(k1, cfg, text_input=True)
+    params["cls"] = {
+        "transform": init_linear(k2, cfg.hidden, cfg.hidden, cfg.dtype),
+        "transform_norm": init_layer_norm(cfg.hidden, cfg.dtype),
+        "bias": jnp.zeros((cfg.vocab_size,), jnp.float32),
+    }
+    return params
+
+
+def qformer_lm_logits(params: Dict, hidden: jax.Array, cfg: QFormerConfig
+                      ) -> jax.Array:
+    """MLM head over hidden states: transform -> GELU -> LN -> tied decoder.
+    Returns fp32 logits (B, T, vocab)."""
+    cls = params["cls"]
+    h = gelu(linear(cls["transform"], hidden))
+    h = layer_norm(cls["transform_norm"], h, cfg.ln_eps)
+    w = params["embeddings"]["word"]                       # (vocab, d), tied
+    logits = jnp.dot(h.astype(w.dtype), w.T,
+                     preferred_element_type=jnp.float32)
+    return logits + cls["bias"]
+
+
+def qformer_lm_forward(
+    params: Dict,
+    *,
+    input_ids: jax.Array,                      # (B, T)
+    encoder_hidden_states: jax.Array,          # (B, S_img, encoder_width)
+    attention_mask: Optional[jax.Array] = None,   # (B, T) 1=real
+    encoder_mask: Optional[jax.Array] = None,
+    labels: Optional[jax.Array] = None,        # (B, T), -100 = ignore
+    label_smoothing: float = 0.1,              # reference Qformer.py:1079
+    cfg: QFormerConfig = INSTRUCT_BLIP_QFORMER,
+):
+    """BertLMHeadModel forward (reference: stllm/models/Qformer.py:987-1093):
+    UniLM-masked decoder pass with query prefix, logits over TEXT positions,
+    and (with ``labels``) the shifted next-token CE with label smoothing.
+    Returns logits (B, T, vocab) or (loss, logits)."""
+    b, t = input_ids.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((b, t), jnp.int32)
+    full_mask = jnp.concatenate(
+        [jnp.ones((b, cfg.num_query), attention_mask.dtype), attention_mask],
+        axis=1)
+    hidden = qformer_forward(
+        params,
+        encoder_hidden_states=encoder_hidden_states,
+        input_ids=input_ids,
+        attention_mask=attention_mask,
+        encoder_mask=encoder_mask,
+        cfg=cfg,
+        self_attn_mask=unilm_attention_mask(full_mask, cfg.num_query),
+    )
+    logits = qformer_lm_logits(params, hidden[:, cfg.num_query:], cfg)
+    if labels is None:
+        return logits
+    # shifted CE, mean over non-ignored, label_smoothing as in torch
+    # CrossEntropyLoss (reference :1078-1083)
+    lg = logits[:, :-1].astype(jnp.float32)
+    lb = labels[:, 1:]
+    valid = lb != -100
+    lb_safe = jnp.where(valid, lb, 0)
+    logp = jax.nn.log_softmax(lg, axis=-1)
+    nll = -jnp.take_along_axis(logp, lb_safe[..., None], axis=-1)[..., 0]
+    smooth = -logp.mean(axis=-1)
+    per_tok = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    denom = jnp.maximum(valid.sum(), 1)
+    loss = jnp.where(valid, per_tok, 0.0).sum() / denom
+    return loss, logits
+
+
+def qformer_lm_generate(
+    params: Dict,
+    encoder_hidden_states: jax.Array,
+    *,
+    bos_token_id: int,
+    eos_token_id: Optional[int] = None,
+    max_new_tokens: int = 20,
+    encoder_mask: Optional[jax.Array] = None,
+    cfg: QFormerConfig = INSTRUCT_BLIP_QFORMER,
+):
+    """Greedy decode through the UniLM path (reference BertLMHeadModel
+    generation, Qformer.py:1100-1117). Full re-forward per step — this head
+    is a parity surface, not a serving path (the ST-LLM main path never
+    decodes through the Q-Former; answers come from LLaMA)."""
+    b = encoder_hidden_states.shape[0]
+    ids = [[bos_token_id] for _ in range(b)]
+    done = [False] * b
+    for _ in range(max_new_tokens):
+        input_ids = jnp.asarray(ids, jnp.int32)
+        logits = qformer_lm_forward(
+            params, input_ids=input_ids,
+            encoder_hidden_states=encoder_hidden_states,
+            encoder_mask=encoder_mask, cfg=cfg)
+        nxt = jnp.argmax(logits[:, -1], axis=-1)
+        for i in range(b):
+            tok = int(nxt[i]) if not done[i] else (eos_token_id or 0)
+            ids[i].append(tok)
+            if eos_token_id is not None and tok == eos_token_id:
+                done[i] = True
+        if eos_token_id is not None and all(done):
+            break
+    return [row[1:] for row in ids]

@@ -58,15 +58,32 @@ def quantize_activations(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return x_q, scale
 
 
+# int8 matmul form. Round 1 measured the bf16-upcast composition and the
+# native s8xs8->s32 dot EQUAL; re-measured in round 3 (jax 0.9 toolchain)
+# the native dot is consistently faster at ViT shapes when the epilogue is
+# cheap (222.6 vs 196.8 TOP/s on the fc1 requant chain, /tmp benchmarks
+# recorded in DESIGN.md) and never slower. Both are numerically exact for
+# int8 operands, so this is a pure dispatch choice.
+INT8_NATIVE_DOT = True
+
+
+def _int8_dot(x_q: jax.Array, w_q: jax.Array) -> jax.Array:
+    """s8 x s8 matmul over the last/first axes, fp32 result."""
+    dims = (((x_q.ndim - 1,), (0,)), ((), ()))
+    if INT8_NATIVE_DOT:
+        return jax.lax.dot_general(
+            x_q, w_q, dims, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        x_q.astype(jnp.bfloat16), w_q.astype(jnp.bfloat16), dims,
+        preferred_element_type=jnp.float32)
+
+
 def quant_matmul(x: jax.Array, w_q: jax.Array, w_scale: jax.Array) -> jax.Array:
     """Dynamic W8A8 matmul, XLA path (see module docstring). x: (..., K),
     w_q: (K, N) int8, w_scale: (N,). Returns (..., N) in x.dtype."""
     x_q, x_scale = quantize_activations(x)
-    y = jax.lax.dot_general(
-        x_q.astype(jnp.bfloat16), w_q.astype(jnp.bfloat16),
-        (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    y = _int8_dot(x_q, w_q)
     return (y * x_scale * w_scale.astype(jnp.float32)).astype(x.dtype)
 
 
@@ -283,11 +300,18 @@ def layer_norm_quant(params: Dict, x: jax.Array, eps: float = 1e-6,
 
 def gelu_quant(x: jax.Array, *, approx: bool = False,
                interpret: bool = False):
-    """Fused GELU -> per-row int8 (same contract as layer_norm_quant)."""
-    out = _rowwise_pallas(
-        functools.partial(_gelu_quant_kernel, approx=approx), x, [],
-        interpret,
-    )
+    """Fused GELU -> per-row int8 (same contract as layer_norm_quant).
+
+    Exact (erf) GELU has no Mosaic lowering on this TPU backend (erfc is an
+    unimplemented Pallas primitive — caught by script/verify_tpu.py, invisible
+    to the CPU interpret-mode suite), so approx=False always takes the XLA
+    fallback; the fused kernel serves the tanh-approx serving config."""
+    out = None
+    if approx or interpret or jax.default_backend() == "cpu":
+        out = _rowwise_pallas(
+            functools.partial(_gelu_quant_kernel, approx=approx), x, [],
+            interpret,
+        )
     if out is None:
         return quantize_activations(jax.nn.gelu(x, approximate=approx))
     return out
@@ -296,12 +320,8 @@ def gelu_quant(x: jax.Array, *, approx: bool = False,
 def quant_matmul_pre(x_q: jax.Array, x_scale: jax.Array, params_q: Dict,
                      out_dtype) -> jax.Array:
     """int8 matmul on PRE-quantized activations (from layer_norm_quant /
-    gelu_quant): same convert-folded XLA dot + epilogue as quant_matmul."""
-    y = jax.lax.dot_general(
-        x_q.astype(jnp.bfloat16), params_q["w_q"].astype(jnp.bfloat16),
-        (((x_q.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    gelu_quant): same XLA dot + fused epilogue as quant_matmul."""
+    y = _int8_dot(x_q, params_q["w_q"])
     y = y * x_scale * params_q["w_scale"].astype(jnp.float32)
     if "b" in params_q:
         y = y + params_q["b"].astype(jnp.float32)
@@ -349,11 +369,7 @@ def quant_mlp_static(hq: jax.Array, in_scale, fc1_q: Dict, gelu_scale,
     scale+bias+GELU+quantize chain is elementwise on the fc1 accumulator, so
     XLA fuses it into the dot epilogue and only int8 reaches HBM between the
     two matmuls."""
-    y = jax.lax.dot_general(
-        hq.astype(jnp.bfloat16), fc1_q["w_q"].astype(jnp.bfloat16),
-        (((hq.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    y = _int8_dot(hq, fc1_q["w_q"])
     y = y * (in_scale * fc1_q["w_scale"].astype(jnp.float32))
     if "b" in fc1_q:
         y = y + fc1_q["b"].astype(jnp.float32)
