@@ -26,6 +26,7 @@ A100 number replaces it.
 
 import dataclasses
 import json
+import os
 import time
 
 import jax
@@ -79,14 +80,23 @@ def main():
                                       cfg.vit.image_size, 3)[:16], cfg.vit)
     int8_fps = measure(cfg, params, frames, q_ids, q_mask)
 
-    print(json.dumps({
+    line = {
         "metric": "frames/sec/chip ViT+Q-Former encode (64-frame video, "
                   "int8 W8A8 static-scale serving stack; see EQUIV_INT8.json)",
         "value": round(int8_fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(int8_fps / REFERENCE_A100_FPS, 3),
         "bf16_fps": round(bf16_fps, 2),
-    }))
+    }
+    # the PARITY-config (BTAdapter) encoder number, measured separately by
+    # script/bench_btadapter.py (a third full-model compile would overrun
+    # the driver's bench time budget; the sidecar JSON records the run)
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_BTADAPTER.json")
+    if os.path.exists(side):
+        with open(side) as f:
+            line["btadapter_static_fps"] = json.load(f)["btadapter_static_fps"]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

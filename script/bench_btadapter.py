@@ -1,0 +1,75 @@
+"""BTAdapter encoder benchmark — the PARITY-config encoder.
+
+The reference's 54.9-MVBench QA config selects the BTAdapter ViT
+(reference: config/instructblipbase_stllm_qa.yaml:3 ->
+stllm/models/eva_btadapter.py:46-255), so this number is the honest
+headline companion to bench.py's plain-ViT figure. 64 frames as 4 videos x
+16 frames (the QA protocol's clip shape).
+
+Ladder (measured, v5e-1):
+  bf16 249.5 fr/s -> int8 static trunk + dynamic branch 384.7 (round 2)
+  -> fully static (round 3, calibrate_btadapter_scales: branch spatial
+     blocks take the packed-qkv kernel + static LN/GELU fusions, temporal
+     layers static-scale matmuls) 392.3 fr/s.
+
+Physics: the branch adds ~11% matmul FLOPs on top of the trunk (3 spatial
+blocks at full block cost + 3 temporal layers), so the FLOP-proportional
+bound vs the 427.5 plain-ViT headline is ~386 fr/s — the fully-static
+branch runs AT trunk efficiency; closing further would require changing the
+reference's model math.
+
+Writes BENCH_BTADAPTER.json {"btadapter_static_fps": ...} which bench.py
+folds into the headline JSON line.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stllm_tpu.models.btadapter import (
+    btadapter_forward, calibrate_btadapter_scales, init_btadapter)
+from stllm_tpu.models.vit import EVA_VIT_G, quantize_vit_params
+
+F, T = 64, 16
+
+
+def main():
+    cfg = dataclasses.replace(EVA_VIT_G, gelu_approx=True)
+    params = init_btadapter(jax.random.PRNGKey(0), cfg, depth=3)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.normal(size=(F, 224, 224, 3)), jnp.bfloat16)
+
+    params = quantize_vit_params(params, free_dense=True)
+    params = calibrate_btadapter_scales(params, frames[:16], cfg, num_frames=16)
+
+    @jax.jit
+    def enc(p, fr):
+        return btadapter_forward(p, fr, cfg, num_frames=T)
+
+    enc(params, frames).block_until_ready()
+    enc(params, frames).block_until_ready()
+    t0 = time.perf_counter()
+    iters = 6
+    for _ in range(iters):
+        out = enc(params, frames)
+    out.block_until_ready()
+    fps = F * iters / (time.perf_counter() - t0)
+    result = {"btadapter_static_fps": round(fps, 1),
+              "config": "64 frames as 4x16, fully-static int8 trunk+branch"}
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_BTADAPTER.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""7B greedy-decode latency: bf16 / int8 (W8A8) / int4 (W4A16) weights.
+
+Decode is weight-bandwidth-bound (DESIGN.md): per token every decoder-layer
+weight is read once, so ms/token tracks weight bytes. v5e floors at 819 GB/s:
+bf16 ~16.4 ms, int8 ~8.5 ms, int4 ~4.3 ms (layer matmuls only). Round-2
+production: int8 13.8 ms/token. This script measures the real path —
+models.generation chunked greedy (16 tokens/device call) over the layer-major
+KV cache after a 512-token prefill.
+
+    python script/bench_decode.py int8 int4        # variants to run
+
+Matches/beats: HF KV-cache decode loop driving the reference's answer
+generation (reference: stllm/conversation/conversation.py:231-243).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stllm_tpu.models.generation import GenerationConfig, generate
+from stllm_tpu.models.llama import (
+    VICUNA_7B, init_llama, quantize_llama_params, quantize_llama_params_int4)
+
+PREFIX = 512
+NEW = 64
+
+
+def measure(params, label, iters=3):
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(1, PREFIX, VICUNA_7B.hidden)) * 0.02,
+                      jnp.bfloat16)
+    gen = GenerationConfig(max_new_tokens=NEW, stop_sequences=(),
+                           eos_token_id=-1, pad_to_multiple=64)
+    out = generate(params, emb, llama_cfg=VICUNA_7B, gen=gen)  # compile+warm
+    assert len(out[0]) == NEW
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        generate(params, emb, llama_cfg=VICUNA_7B, gen=gen)
+    dt = (time.perf_counter() - t0) / iters
+    ms_tok = dt * 1e3 / NEW  # includes prefill (~1 call) + 4 chunk calls
+    print(f"{label:28s} {ms_tok:7.2f} ms/token (prefill+decode avg over "
+          f"{NEW} new tokens)", flush=True)
+    return ms_tok
+
+
+CONVERT = {
+    "bf16": lambda p: p,
+    # free_dense=True everywhere: 16 GB cannot hold dense+quantized 7B
+    "int8": lambda p: quantize_llama_params(p, free_dense=True),
+    "int4": lambda p: quantize_llama_params_int4(p, group=128,
+                                                 free_dense=True),
+    "int4pc": lambda p: quantize_llama_params_int4(p, group=None,
+                                                   free_dense=True),
+}
+LABEL = {"bf16": "bf16 dense", "int8": "int8 W8A8",
+         "int4": "int4 W4A16 (group=128)", "int4pc": "int4 W4A16 (per-chan)"}
+
+
+def main():
+    variants = sys.argv[1:] or ["int8", "int4"]
+    results = {}
+    for v in variants:
+        # fresh init per variant: in-place free_dense conversion consumes
+        # the dense tree
+        params = init_llama(jax.random.PRNGKey(0), VICUNA_7B)
+        params = CONVERT[v](params)
+        results[v] = measure(params, LABEL[v])
+        del params
+    print(results)
+
+
+if __name__ == "__main__":
+    main()

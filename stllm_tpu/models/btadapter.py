@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from stllm_tpu.models.vit import ViTConfig, init_vit, patchify, vit_block, _attention
+from stllm_tpu.ops.attention import fused_qkv_attention_quant, mha_reference
 from stllm_tpu.ops.layers import gelu, init_layer_norm, init_linear, layer_norm, linear
 
 MAX_BTADAPTER_FRAMES = 64  # learned temporal embedding size (eva_btadapter.py:84)
@@ -101,6 +102,197 @@ def _spatial_layer(layer: Dict, x: jax.Array, b: int, t: int, cfg: ViTConfig) ->
     return x + linear(layer["fc2"], gelu(linear(layer["fc1"], h)))
 
 
+def _qkv_with_bias(layer: Dict) -> Dict:
+    qkv_bias = jnp.concatenate(
+        [layer["q_bias"], jnp.zeros_like(layer["q_bias"]), layer["v_bias"]])
+    return {**layer["qkv"], "b": qkv_bias}
+
+
+def _temporal_layer_quant_static(layer: Dict, x: jax.Array, b: int, t: int,
+                                 cfg: ViTConfig) -> jax.Array:
+    """Static-int8 temporal layer (branch counterpart of vit.py's
+    _vit_block_quant_static): LN emits int8 in one fusion, all three matmuls
+    (qkv, proj, temporal_fc) run s8xs8 with calibrated per-tensor input
+    scales. Attention itself stays XLA bf16 — at (B*P, T) the sequences are
+    tiny and the score math is negligible."""
+    from stllm_tpu.ops.quant import (
+        layer_norm_quant_static, quant_matmul_pre, quantize_static)
+
+    sc = layer["act_scales"]
+    cls, q = x[:, :1], x[:, 1:]
+    d = x.shape[-1]
+    p = q.shape[1] // t
+    qt = q.reshape(b * p, t, d)
+    hq = layer_norm_quant_static(layer["norm1"], qt, sc["qkv"], cfg.ln_eps)
+    qkv = quant_matmul_pre(hq, sc["qkv"], _qkv_with_bias(layer), x.dtype)
+    qh, kh, vh = jnp.split(qkv, 3, axis=-1)
+    bp = b * p
+    out = mha_reference(
+        qh.reshape(bp, t, cfg.heads, cfg.head_dim),
+        kh.reshape(bp, t, cfg.heads, cfg.head_dim),
+        vh.reshape(bp, t, cfg.heads, cfg.head_dim),
+    ).reshape(bp, t, d)
+    oq = quantize_static(out, sc["proj"])
+    att = quant_matmul_pre(oq, sc["proj"], layer["proj"], x.dtype)
+    aq = quantize_static(att, sc["temporal_fc"])
+    att = quant_matmul_pre(aq, sc["temporal_fc"], layer["temporal_fc"], x.dtype)
+    out = att.reshape(b, p * t, d) + q
+    return jnp.concatenate([cls, out], axis=1)
+
+
+def _spatial_layer_quant_static(layer: Dict, x: jax.Array, b: int, t: int,
+                                cfg: ViTConfig) -> jax.Array:
+    """Static-int8 spatial layer: the per-frame view (B*T, 1+P, D) has
+    exactly the trunk block geometry, so it takes the same packed-qkv quant
+    attention kernel + static LN/GELU fusions as _vit_block_quant_static."""
+    from stllm_tpu.ops.quant import (
+        layer_norm_quant_static, quant_matmul_pre, quant_mlp_static)
+
+    sc = layer["act_scales"]
+    residual = x
+    d = x.shape[-1]
+    cls, q = x[:, :1], x[:, 1:]
+    p = q.shape[1] // t
+    cls_t = jnp.repeat(cls, t, axis=0)
+    q_t = q.reshape(b, p, t, d).transpose(0, 2, 1, 3).reshape(b * t, p, d)
+    h = jnp.concatenate([cls_t, q_t], axis=1)                  # (B*T, 1+P, D)
+    hq = layer_norm_quant_static(layer["norm1"], h, sc["qkv"], cfg.ln_eps)
+    qkv = quant_matmul_pre(hq, sc["qkv"], _qkv_with_bias(layer), x.dtype)
+    oq, os_ = fused_qkv_attention_quant(qkv, cfg.heads, cfg.head_dim)
+    att = quant_matmul_pre(oq, os_, layer["proj"], x.dtype)
+    cls_out = att[:, :1].reshape(b, t, 1, d).mean(axis=1)
+    sp = att[:, 1:].reshape(b, t, p, d).transpose(0, 2, 1, 3).reshape(b, p * t, d)
+    x = residual + jnp.concatenate([cls_out, sp], axis=1)
+    hq2 = layer_norm_quant_static(layer["norm2"], x, sc["fc1"], cfg.ln_eps)
+    return x + quant_mlp_static(hq2, sc["fc1"], layer["fc1"], sc["fc2"],
+                                layer["fc2"], x.dtype, approx=cfg.gelu_approx)
+
+
+def calibrate_btadapter_scales(params_q: Dict, images: jax.Array,
+                               cfg: ViTConfig, num_frames: int,
+                               margin: float = 1.0) -> Dict:
+    """Static-W8A8 calibration for trunk AND branch.
+
+    Trunk scales come from vit.calibrate_vit_scales (exact for the trunk —
+    the branch never feeds back into it, reference eva_btadapter.py:147-184).
+    Branch scales are then collected by replaying the branch forward over
+    the static-trunk activations, recording per-tensor amax of each branch
+    matmul input in fp32 (one extra pass over the calibration clip; the
+    branch is 3+3 layers, so per-layer jitted stats compile in seconds).
+    Returns params with ``act_scales`` attached to every trunk block and
+    branch layer — btadapter_forward then takes the fully-static path."""
+    from stllm_tpu.models.vit import calibrate_vit_scales
+    from stllm_tpu.ops.quant import quant_linear
+
+    params_q = calibrate_vit_scales(params_q, images, cfg, margin)
+    t = num_frames
+    bt = images.shape[0]
+    b = bt // t
+    assert b * t == bt, (bt, t)
+
+    if images.dtype == jnp.uint8:
+        from stllm_tpu.data.processors import CLIP_MEAN, CLIP_STD
+
+        mean = jnp.asarray(CLIP_MEAN, jnp.float32) * 255.0
+        std = jnp.asarray(CLIP_STD, jnp.float32) * 255.0
+        images = ((images.astype(jnp.float32) - mean) / std).astype(cfg.dtype)
+
+    @jax.jit
+    def prologue(images):
+        x = patchify(images.astype(cfg.dtype), cfg.patch_size)
+        x = linear(params_q["patch_embed"], x)
+        cls = jnp.broadcast_to(params_q["cls_token"],
+                               (bt, 1, cfg.width)).astype(x.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+        return x + params_q["pos_embed"].astype(x.dtype)
+
+    def amax(v):
+        return jnp.max(jnp.abs(v.astype(jnp.float32)))
+
+    @jax.jit
+    def temporal_stats(layer, x):
+        cls, q = x[:, :1], x[:, 1:]
+        d = x.shape[-1]
+        p = q.shape[1] // t
+        qt = q.reshape(b * p, t, d)
+        h = layer_norm(layer["norm1"], qt, cfg.ln_eps)
+        qkv = quant_linear(_qkv_with_bias(layer), h)
+        qh, kh, vh = jnp.split(qkv, 3, axis=-1)
+        bp = b * p
+        out = mha_reference(
+            qh.reshape(bp, t, cfg.heads, cfg.head_dim),
+            kh.reshape(bp, t, cfg.heads, cfg.head_dim),
+            vh.reshape(bp, t, cfg.heads, cfg.head_dim),
+        ).reshape(bp, t, d)
+        att = quant_linear(layer["proj"], out)
+        fc = quant_linear(layer["temporal_fc"], att)
+        nxt = jnp.concatenate([cls, fc.reshape(b, p * t, d) + q], axis=1)
+        return nxt, {"qkv": amax(h), "proj": amax(out), "temporal_fc": amax(att)}
+
+    @jax.jit
+    def spatial_stats(layer, x):
+        residual = x
+        d = x.shape[-1]
+        cls, q = x[:, :1], x[:, 1:]
+        p = q.shape[1] // t
+        cls_t = jnp.repeat(cls, t, axis=0)
+        q_t = q.reshape(b, p, t, d).transpose(0, 2, 1, 3).reshape(b * t, p, d)
+        h = jnp.concatenate([cls_t, q_t], axis=1)
+        hn = layer_norm(layer["norm1"], h, cfg.ln_eps)
+        qkv = quant_linear(_qkv_with_bias(layer), hn)
+        qh, kh, vh = jnp.split(qkv, 3, axis=-1)
+        out = mha_reference(
+            qh.reshape(b * t, p + 1, cfg.heads, cfg.head_dim),
+            kh.reshape(b * t, p + 1, cfg.heads, cfg.head_dim),
+            vh.reshape(b * t, p + 1, cfg.heads, cfg.head_dim),
+        ).reshape(b * t, p + 1, d)
+        att = quant_linear(layer["proj"], out)
+        cls_out = att[:, :1].reshape(b, t, 1, d).mean(axis=1)
+        sp = att[:, 1:].reshape(b, t, p, d).transpose(0, 2, 1, 3).reshape(b, p * t, d)
+        x = residual + jnp.concatenate([cls_out, sp], axis=1)
+        hn2 = layer_norm(layer["norm2"], x, cfg.ln_eps)
+        f1 = quant_linear(layer["fc1"], hn2)
+        g = jax.nn.gelu(f1, approximate=True) if cfg.gelu_approx else gelu(f1)
+        nxt = x + quant_linear(layer["fc2"], g)
+        return nxt, {"qkv": amax(hn), "proj": amax(out), "fc1": amax(hn2),
+                     "fc2": amax(g)}
+
+    branch_layers = len(params_q["btadapter"]["temp"])
+    start = cfg.depth - branch_layers
+    x = prologue(images)
+    branch = None
+    temp_stats, spat_stats = [], []
+    # one jitted trunk block reused across depth (identical pytree shapes)
+    trunk_block = jax.jit(vit_block, static_argnums=(2,))
+    for idx, block in enumerate(params_q["blocks"]):
+        x = trunk_block(block, x, cfg)
+        if idx >= start:
+            i = idx - start
+            xr = x.reshape(b, t, *x.shape[1:])
+            if branch is None:
+                branch = _branch_init(params_q, xr, cfg)
+            else:
+                branch = _branch_accumulate(branch, xr)
+            branch, st = temporal_stats(params_q["btadapter"]["temp"][i], branch)
+            temp_stats.append(st)
+            branch, ss = spatial_stats(params_q["btadapter"]["spatial"][i], branch)
+            spat_stats.append(ss)
+
+    def attach(layer, st):
+        return {**layer, "act_scales": {
+            k: jnp.float32(margin) * v.astype(jnp.float32) / 127.0
+            for k, v in st.items()}}
+
+    out = dict(params_q)
+    bt_p = dict(params_q["btadapter"])
+    bt_p["temp"] = [attach(l, s) for l, s in
+                    zip(bt_p["temp"], temp_stats)]
+    bt_p["spatial"] = [attach(l, s) for l, s in
+                      zip(bt_p["spatial"], spat_stats)]
+    out["btadapter"] = bt_p
+    return out
+
+
 def _branch_init(params: Dict, xr: jax.Array, cfg: ViTConfig) -> jax.Array:
     """Build the initial branch state from trunk activations
     (reference init_input, eva_btadapter.py:209-231). xr: (B, T, L, D)."""
@@ -167,8 +359,16 @@ def btadapter_forward(
                 branch = _branch_init(params, xr, cfg)
             else:
                 branch = _branch_accumulate(branch, xr)
-            branch = _temporal_layer(params["btadapter"]["temp"][i], branch, b, t, cfg)
-            branch = _spatial_layer(params["btadapter"]["spatial"][i], branch, b, t, cfg)
+            temp_l = params["btadapter"]["temp"][i]
+            spat_l = params["btadapter"]["spatial"][i]
+            if "act_scales" in temp_l:  # calibrate_btadapter_scales
+                branch = _temporal_layer_quant_static(temp_l, branch, b, t, cfg)
+            else:
+                branch = _temporal_layer(temp_l, branch, b, t, cfg)
+            if "act_scales" in spat_l:
+                branch = _spatial_layer_quant_static(spat_l, branch, b, t, cfg)
+            else:
+                branch = _spatial_layer(spat_l, branch, b, t, cfg)
 
     # merge: broadcast the branch back to per-frame rows and average
     l = x.shape[1]

@@ -373,7 +373,8 @@ def llama_decode_prefix(
     return x, new_gen
 
 
-def quantize_llama_params(params: Dict, free_dense: bool = False) -> Dict:
+def quantize_llama_params(params: Dict, free_dense: bool = False,
+                          a16: bool = False) -> Dict:
     """Inference-time W8A8 conversion (ops/quant.py) of every decoder-layer
     matmul (q/k/v/o/gate/up/down — 96% of weight bytes on 7B). Embeddings,
     lm_head and norms stay dense: the head drives token choice directly and
@@ -386,7 +387,12 @@ def quantize_llama_params(params: Dict, free_dense: bool = False) -> Dict:
     ``free_dense=True`` deletes each dense weight buffer as soon as its
     quantized copy exists — required to convert a 7B tree in place on a
     16 GB chip (dense+quantized both resident would OOM). The input tree is
-    unusable afterwards."""
+    unusable afterwards.
+
+    ``a16=True`` marks every converted linear for the weight-only
+    differentiable form (ops/quant.py:w8a16_matmul) — the QLoRA-style
+    frozen-base configuration for training with a quantized LLM: int8
+    weight bytes, bf16 activations, gradients flow w.r.t. activations."""
     from stllm_tpu.ops.quant import quantize_linear_params
 
     out = dict(params)
@@ -395,6 +401,30 @@ def quantize_llama_params(params: Dict, free_dense: bool = False) -> Dict:
         l = dict(layer)
         for name in ("q", "k", "v", "o", "gate", "up", "down"):
             l[name] = quantize_linear_params(layer[name], free_dense=free_dense)
+            if a16:  # rename: the w_q16 KEY selects the a16 form statically
+                l[name]["w_q16"] = l[name].pop("w_q")
+        out["layers"].append(l)
+    return out
+
+
+def quantize_llama_params_int4(params: Dict, group: Optional[int] = 128,
+                               free_dense: bool = False) -> Dict:
+    """W4A16 conversion of the decoder-layer matmuls (ops/quant.py int4
+    section): int4 PACKED weight bytes with bf16 compute — decode is
+    weight-bandwidth-bound, so halving the bytes halves the per-token
+    weight-read floor again vs int8 (~8.5 -> ~4.3 ms on 7B). ``group``
+    selects per-group scales along K (tighter, default 128); ``group=None``
+    uses per-output-channel scales (scales fold into the dot epilogue).
+    Embeddings / lm_head / norms stay dense, as in the int8 conversion."""
+    from stllm_tpu.ops.quant import quantize_linear_params_int4
+
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        l = dict(layer)
+        for name in ("q", "k", "v", "o", "gate", "up", "down"):
+            l[name] = quantize_linear_params_int4(
+                layer[name], group=group, free_dense=free_dense)
         out["layers"].append(l)
     return out
 

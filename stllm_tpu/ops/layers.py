@@ -20,10 +20,14 @@ import jax.numpy as jnp
 
 
 def linear(params, x: jax.Array) -> jax.Array:
-    if "w_q" in params:  # int8-quantized (see ops/quant.py) — inference path
+    if "w_q" in params or "w_q16" in params:  # int8 forms (see ops/quant.py)
         from stllm_tpu.ops.quant import quant_linear
 
         return quant_linear(params, x)
+    if "w4" in params:  # int4-packed weights (W4A16, see ops/quant.py)
+        from stllm_tpu.ops.quant import w4_linear
+
+        return w4_linear(params, x)
     y = jnp.dot(x, params["w"].astype(x.dtype))
     b = params.get("b")
     if b is not None:

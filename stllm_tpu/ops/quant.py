@@ -102,9 +102,28 @@ def quantize_linear_params(params: Dict, free_dense: bool = False) -> Dict:
     return out
 
 
+def w8a16_matmul(x: jax.Array, w_q: jax.Array, w_scale: jax.Array
+                 ) -> jax.Array:
+    """Weight-only int8 matmul: int8 weights upcast into the dot, bf16
+    activations UNquantized — fully differentiable w.r.t. ``x`` (the W8A8
+    path's activation round() has zero gradient), so this is the QLoRA-style
+    frozen-base form for training through a quantized LLM."""
+    y = jax.lax.dot_general(
+        x.astype(jnp.bfloat16), w_q.astype(jnp.bfloat16),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return (y * w_scale.astype(jnp.float32)).astype(x.dtype)
+
+
 def quant_linear(params_q: Dict, x: jax.Array) -> jax.Array:
-    """Drop-in for ops.layers.linear on quantized params. x: (..., K)."""
-    out = quant_matmul(x, params_q["w_q"], params_q["w_scale"])
+    """Drop-in for ops.layers.linear on quantized params. x: (..., K).
+    A ``w_q16`` key (instead of ``w_q``) selects the weight-only
+    differentiable form — the mode is encoded in the pytree STRUCTURE, not a
+    leaf, so it stays static under jit."""
+    if "w_q16" in params_q:
+        out = w8a16_matmul(x, params_q["w_q16"], params_q["w_scale"])
+    else:
+        out = quant_matmul(x, params_q["w_q"], params_q["w_scale"])
     if "b" in params_q:
         out = out + params_q["b"].astype(out.dtype)
     return out
@@ -376,6 +395,109 @@ def quant_mlp_static(hq: jax.Array, in_scale, fc1_q: Dict, gelu_scale,
     g = jax.nn.gelu(y, approximate=approx)
     return quant_matmul_pre(quantize_static(g, gelu_scale), gelu_scale,
                             fc2_q, out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# W4A16: int4 WEIGHT storage with bf16 compute (decode bandwidth lever)
+#
+# 7B greedy decode is weight-bandwidth-bound (DESIGN.md: 13.8 ms/token int8
+# ~ 62% of the 8.5 ms int8 weight-read floor). int4 dot_general is
+# unimplemented on this TPU backend, but decode doesn't need int4 MATH —
+# it needs int4 BYTES: halving weight reads halves the floor to ~4.3 ms.
+# Layout: codes for the TOP half of the K axis live in the low nibble and
+# the BOTTOM half in the high nibble of one (K/2, N) int8 array, so
+# unpacking is two shifts and NO interleave; the matmul splits into
+# x[:, :K/2] @ low + x[:, K/2:] @ high (contraction order is preserved
+# within each half, fp32 accumulation keeps the sum exact).
+#
+# Two scale granularities:
+#   per-channel (N,): scales fold into the output epilogue, the int4->bf16
+#     convert feeds the dot directly (same convert-folding as int8);
+#   per-group (K//group, N): tighter quantization; scales multiply the
+#     dequantized weight (cannot fold into the epilogue).
+# ---------------------------------------------------------------------------
+
+def quantize_weights_int4(w: jax.Array, group: Optional[int] = None
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """w (K, N) -> (packed int8 (K/2, N), scales fp32 (N,) or (K//group, N)).
+    Symmetric int4 codes in [-7, 7] (symmetric range; -8 unused)."""
+    k, n = w.shape
+    assert k % 2 == 0, k
+    wf = w.astype(jnp.float32)
+    if group is None:
+        amax = jnp.max(jnp.abs(wf), axis=0)
+        scale = jnp.where(amax == 0.0, 1.0, amax / 7.0)
+        q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    else:
+        assert k % group == 0 and (k // 2) % group == 0, (k, group)
+        gview = wf.reshape(k // group, group, n)
+        amax = jnp.max(jnp.abs(gview), axis=1)
+        scale = jnp.where(amax == 0.0, 1.0, amax / 7.0)
+        q = jnp.clip(jnp.round(gview / scale[:, None]), -7, 7
+                     ).astype(jnp.int8).reshape(k, n)
+    top, bottom = q[: k // 2], q[k // 2:]
+    packed = (top & jnp.int8(0x0F)) | jax.lax.shift_left(bottom, jnp.int8(4))
+    return packed, scale
+
+
+def _unpack_int4(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(K/2, N) int8 -> (top codes, bottom codes), each (K/2, N) int8."""
+    four = jnp.int8(4)
+    top = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(packed, four), four)
+    bottom = jax.lax.shift_right_arithmetic(packed, four)
+    return top, bottom
+
+
+def w4_matmul(x: jax.Array, packed: jax.Array, scale: jax.Array) -> jax.Array:
+    """x (..., K) @ int4-packed (K/2, N) -> (..., N) in x.dtype."""
+    k2, n = packed.shape
+    top, bottom = _unpack_int4(packed)
+    xt, xb = x[..., :k2], x[..., k2:]
+    dims = (((x.ndim - 1,), (0,)), ((), ()))
+    if scale.ndim == 1:  # per-channel: codes feed the dot, scale in epilogue
+        y = (jax.lax.dot_general(xt.astype(jnp.bfloat16),
+                                 top.astype(jnp.bfloat16), dims,
+                                 preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(xb.astype(jnp.bfloat16),
+                                   bottom.astype(jnp.bfloat16), dims,
+                                   preferred_element_type=jnp.float32))
+        return (y * scale).astype(x.dtype)
+    # per-group: scales vary along K — dequantize the halves (XLA fuses the
+    # shift/convert/mul chain into the dot feed where it can)
+    g = 2 * k2 // scale.shape[0]
+    gt = scale[: k2 // g].astype(jnp.bfloat16)
+    gb = scale[k2 // g:].astype(jnp.bfloat16)
+    wt = (top.reshape(k2 // g, g, n).astype(jnp.bfloat16) * gt[:, None]
+          ).reshape(k2, n)
+    wb = (bottom.reshape(k2 // g, g, n).astype(jnp.bfloat16) * gb[:, None]
+          ).reshape(k2, n)
+    y = (jax.lax.dot_general(xt.astype(jnp.bfloat16), wt, dims,
+                             preferred_element_type=jnp.float32)
+         + jax.lax.dot_general(xb.astype(jnp.bfloat16), wb, dims,
+                               preferred_element_type=jnp.float32))
+    return y.astype(x.dtype)
+
+
+def quantize_linear_params_int4(params: Dict, group: Optional[int] = None,
+                                free_dense: bool = False) -> Dict:
+    """{'w': (K,N), 'b'?} -> {'w4', 'w4_scale', 'b'?} (see w4_linear)."""
+    packed, scale = quantize_weights_int4(params["w"], group)
+    packed = jax.block_until_ready(packed)
+    out = {"w4": packed, "w4_scale": scale}
+    if "b" in params and params["b"] is not None:
+        out["b"] = params["b"]
+    if free_dense and isinstance(params["w"], jax.Array):
+        params["w"].delete()
+    return out
+
+
+def w4_linear(params: Dict, x: jax.Array) -> jax.Array:
+    """Drop-in for ops.layers.linear on int4-packed params."""
+    out = w4_matmul(x, params["w4"], params["w4_scale"])
+    if "b" in params:
+        out = out + params["b"].astype(out.dtype)
+    return out
 
 
 def quantize_tree_linears(tree, free_dense: bool = False):

@@ -64,6 +64,33 @@ def test_quantized_btadapter_drift(params):
     assert rel_s < 0.03, rel_s
 
 
+def test_fully_static_btadapter_drift(params):
+    """calibrate_btadapter_scales (round 3): trunk AND branch on calibrated
+    static scales — the serving path for the reference QA config's encoder.
+    Drift vs dense stays in the dynamic-int8 ballpark, and the static branch
+    layers are actually dispatched."""
+    from stllm_tpu.models.btadapter import calibrate_btadapter_scales
+    from stllm_tpu.models.vit import quantize_vit_params
+
+    dense = btadapter_forward(params, _frames(), CFG, num_frames=T)
+    pq = quantize_vit_params(params)
+    ps = calibrate_btadapter_scales(pq, _frames(), CFG, num_frames=T)
+    assert all("act_scales" in b for b in ps["blocks"])
+    assert all("act_scales" in l for l in ps["btadapter"]["temp"])
+    assert all("act_scales" in l for l in ps["btadapter"]["spatial"])
+    assert set(ps["btadapter"]["temp"][0]["act_scales"]) == {
+        "qkv", "proj", "temporal_fc"}
+    assert set(ps["btadapter"]["spatial"][0]["act_scales"]) == {
+        "qkv", "proj", "fc1", "fc2"}
+    sout = btadapter_forward(ps, _frames(), CFG, num_frames=T)
+    rel = float(jnp.abs(sout - dense).mean() / jnp.abs(dense).mean())
+    assert rel < 0.04, rel
+
+    # robustness: uncalibrated inputs saturate, not explode
+    other = btadapter_forward(ps, _frames(seed=9) * 1.5, CFG, num_frames=T)
+    assert np.isfinite(np.asarray(other)).all()
+
+
 def test_spatial_blocks_copy_trunk(params):
     for i, sp in enumerate(params["btadapter"]["spatial"]):
         trunk = params["blocks"][CFG.depth - 2 + i]

@@ -172,6 +172,101 @@ class TestQuantMatmul:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
 
+    def test_int4_pack_roundtrip_and_matmul(self):
+        """W4A16 (round 3): nibble packing round-trips exactly, and the
+        split-halves matmul equals explicit dequant @ x for both scale
+        granularities."""
+        from stllm_tpu.ops.quant import (
+            _unpack_int4, quantize_weights_int4, w4_matmul)
+
+        rng = jax.random.PRNGKey(30)
+        k1, k2 = jax.random.split(rng)
+        k, n = 512, 384
+        w = jax.random.normal(k1, (k, n), jnp.float32) * 0.05
+        x = jax.random.normal(k2, (2, 8, k), jnp.float32)
+
+        for group in (None, 128):
+            packed, scale = quantize_weights_int4(w, group)
+            assert packed.shape == (k // 2, n) and packed.dtype == jnp.int8
+            top, bottom = _unpack_int4(packed)
+            codes = np.concatenate([np.asarray(top), np.asarray(bottom)], 0)
+            assert codes.min() >= -7 and codes.max() <= 7
+            # explicit dequant oracle
+            if group is None:
+                wd = codes.astype(np.float32) * np.asarray(scale)
+            else:
+                wd = (codes.reshape(k // group, group, n).astype(np.float32)
+                      * np.asarray(scale)[:, None]).reshape(k, n)
+            got = np.asarray(w4_matmul(x, packed, scale), np.float32)
+            want = np.asarray(x, np.float32) @ wd
+            np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+            # quantization error vs dense stays int4-sized
+            rel = np.abs(wd - np.asarray(w)).mean() / np.abs(np.asarray(w)).mean()
+            # gaussian weights: mean |err| ~ amax/28 ~ 0.14|w| per-channel;
+            # group=128 tightens amax to ~3.1 sigma -> ~0.11
+            assert rel < (0.17 if group is None else 0.13), (group, rel)
+            if group == 128:
+                assert rel < rel_pc  # groupwise strictly tighter
+            else:
+                rel_pc = rel
+
+    def test_int4_llama_generates(self):
+        """quantize_llama_params_int4 runs the full generate loop and stays
+        near dense prefill logits."""
+        from stllm_tpu.models.generation import GenerationConfig, generate
+        from stllm_tpu.models.llama import (
+            LlamaConfig, init_llama, lm_head, prefill_with_cache,
+            quantize_llama_params_int4)
+
+        cfg = LlamaConfig(vocab_size=128, hidden=64, num_layers=2, heads=4,
+                          intermediate=128, max_positions=64,
+                          dtype=jnp.float32)
+        params = init_llama(jax.random.PRNGKey(31), cfg)
+        p4 = quantize_llama_params_int4(params, group=32)
+        assert "w4" in p4["layers"][0]["q"]
+        emb = jax.random.normal(jax.random.PRNGKey(32), (1, 8, 64)) * 0.1
+        mask = jnp.ones((1, 8), jnp.int32)
+        dense, _ = prefill_with_cache(params, emb, mask, 16, cfg)
+        quant, _ = prefill_with_cache(p4, emb, mask, 16, cfg)
+        ld = np.asarray(lm_head(params, dense), np.float32)
+        lq = np.asarray(lm_head(p4, quant), np.float32)
+        rel = np.abs(lq - ld).mean() / (np.abs(ld).mean() + 1e-9)
+        assert rel < 0.15, rel
+        out = generate(p4, emb, llama_cfg=cfg,
+                       gen=GenerationConfig(max_new_tokens=5,
+                                            stop_sequences=(),
+                                            pad_to_multiple=8))
+        assert len(out[0]) == 5
+
+    def test_w8a16_differentiable(self):
+        """The weight-only int8 form (QLoRA-style frozen base) passes
+        gradients w.r.t. activations — the W8A8 path's round() has zero
+        gradient, so training THROUGH a quantized LLM needs this form."""
+        from stllm_tpu.ops.layers import linear
+        from stllm_tpu.ops.quant import quantize_linear_params
+
+        rng = jax.random.PRNGKey(40)
+        k1, k2 = jax.random.split(rng)
+        w = jax.random.normal(k1, (64, 32), jnp.float32) * 0.1
+        x = jax.random.normal(k2, (4, 64), jnp.float32)
+        pq = quantize_linear_params({"w": w})
+        pq16 = dict(pq)
+        pq16["w_q16"] = pq16.pop("w_q")
+
+        out16 = linear(pq16, x)
+        np.testing.assert_allclose(  # same weights, no activation quant
+            np.asarray(out16), np.asarray(x @ w), atol=2e-2, rtol=2e-2)
+
+        g8 = jax.grad(lambda x: linear(pq, x).sum())(x)
+        g16 = jax.grad(lambda x: linear(pq16, x).sum())(x)
+        # W8A8: round() has zero grad; only the per-row amax element leaks a
+        # (wrong) subgradient through the scale — degenerate for training
+        nonzero = float((jnp.abs(g8) > 0).mean())
+        assert nonzero <= 1.5 / x.shape[-1], nonzero
+        gd = jax.grad(lambda x: (x @ w).sum())(x)
+        np.testing.assert_allclose(np.asarray(g16), np.asarray(gd),
+                                   atol=2e-2, rtol=2e-2)
+
     def test_quant_error_vs_dense(self):
         from stllm_tpu.ops.quant import quant_matmul, quantize_weights
 

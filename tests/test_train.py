@@ -119,6 +119,29 @@ def test_train_step_updates_only_trainable(params):
     assert np.abs(after - before).max() > 0
 
 
+def test_train_step_qlora_int8_base(params):
+    """Frozen LLaMA base in weight-only int8 (w_q16, QLoRA-style): the train
+    step runs, LoRA + projector gradients are finite and nonzero — the
+    configuration script/bench_train_step.py measures at 7B."""
+    from stllm_tpu.models.llama import quantize_llama_params
+    from stllm_tpu.models.lora import add_lora
+
+    p = add_lora(params, jax.random.PRNGKey(3), r=4)
+    p = dict(p)
+    p["llama"] = quantize_llama_params(p["llama"], a16=True)
+    assert "w_q16" in p["llama"]["layers"][0]["q"]
+    opt = make_optimizer(1e-2)
+    state = create_train_state(p, opt)
+    step = jax.jit(make_train_step(TINY, opt))
+    batch = _batch()
+    state2, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    lora_before = np.asarray(state.params["llama"]["layers"][0]["q_lora"]["b"])
+    lora_after = np.asarray(state2.params["llama"]["layers"][0]["q_lora"]["b"])
+    assert np.abs(lora_after - lora_before).max() > 0, "LoRA did not move"
+
+
 def test_loss_decreases_over_steps(params):
     opt = make_optimizer(5e-3, max_grad_norm=None)
     state = create_train_state(params, opt)
