@@ -10,6 +10,16 @@ encode_img, option prompt, do_sample=False generate), with random weights
 Run: python script/bench_pipeline.py   (needs the real TPU chip; the whole
 bf16 stack is ~15.9 GB so it fits a single v5e-16GB with the KV cache).
 Prints one JSON line. Not the headline bench — see bench.py for that.
+
+``--from-video``: end-to-end INCLUDING video decode — synthesizes mp4 clips,
+decodes 16 uniform frames per sample (native C++ FFmpeg reader when built,
+cv2 fallback) + GroupScale/CenterCrop on a background thread that feeds the
+chip one sample ahead (the DevicePrefetcher overlap pattern; reference
+CUDA-stream PrefetchLoader, stllm/datasets/datasets/dataloader_utils.py:84-149).
+Reports decode-only rate, QA-only rate, overlapped samples/s and overlap
+efficiency. NOTE this host has ONE core (CLAUDE.md) — decode rate scales
+per-core on a real TPU host; the OVERLAP efficiency is the architecture
+measurement.
 """
 
 import dataclasses
@@ -35,8 +45,93 @@ ANSWER_TOKENS = 16
 ITERS = 9
 
 
+def synth_videos(tmpdir, n, frames=128, w=320, h=240):
+    import cv2
+
+    paths = []
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    for i in range(n):
+        path = os.path.join(tmpdir, f"clip{i}.mp4")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (w, h))
+        assert vw.isOpened()
+        for f in range(frames):
+            img = np.roll(base, f * 3 + i, axis=1)
+            vw.write(img)
+        vw.release()
+        paths.append(path)
+    return paths
+
+
+def decode_sample(path, image_size=224):
+    """16 uniform frames -> GroupScale+CenterCrop uint8 (1,16,224,224,3)."""
+    from stllm_tpu.data.processors import center_crop, scale_short_side
+    from stllm_tpu.data.video_reader import open_video
+
+    vr = open_video(path)
+    n = len(vr)
+    idx = np.linspace(0, n - 1, FRAMES).round().astype(int)
+    frames = vr.get_batch(idx)                              # (16, H, W, 3)
+    out = center_crop(scale_short_side(frames, image_size), image_size)
+    return out[None]
+
+
+def run_from_video(one_qa_frames, cfg, n_samples=16):
+    import queue
+    import tempfile
+    import threading
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = [synth_videos(td, 8)[i % 8] for i in range(n_samples)]
+        # warm: decode one + compile QA
+        fr0 = decode_sample(paths[0])
+        one_qa_frames(jnp.asarray(fr0, jnp.uint8))
+        one_qa_frames(jnp.asarray(fr0, jnp.uint8))
+
+        t0 = time.perf_counter()
+        decoded = [decode_sample(p) for p in paths]
+        t_decode = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for d in decoded:
+            one_qa_frames(jnp.asarray(d, jnp.uint8))
+        t_qa = time.perf_counter() - t0
+
+        # overlapped: background decode+device_put one sample ahead
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def producer():
+            for p in paths:
+                q.put(jax.device_put(jnp.asarray(decode_sample(p), jnp.uint8)))
+            q.put(None)
+
+        t0 = time.perf_counter()
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            one_qa_frames(item)
+        t_overlap = time.perf_counter() - t0
+
+    serial = t_decode + t_qa
+    bound = max(t_decode, t_qa)
+    eff = ((serial - t_overlap) / (serial - bound)
+           if serial > bound else 1.0)
+    return {
+        "n_samples": n_samples,
+        "decode_only_samples_per_s": round(n_samples / t_decode, 2),
+        "qa_only_samples_per_s": round(n_samples / t_qa, 2),
+        "overlapped_samples_per_s": round(n_samples / t_overlap, 2),
+        "overlap_efficiency": round(min(max(eff, 0.0), 1.0), 3),
+        "note": "1-core host: decode rate scales per-core on a real TPU host",
+    }
+
+
 def main():
     int8 = "--int8" in sys.argv  # opt-in W8A8 ViT + LLaMA + int8 KV cache
+    from_video = "--from-video" in sys.argv
     cfg = STLLMConfig(vit=dataclasses.replace(EVA_VIT_G, gelu_approx=True))
     if int8:
         cfg = dataclasses.replace(
@@ -91,14 +186,24 @@ def main():
         times.append((time.perf_counter() - t0) * 1000)
     assert len(out[0]) == ANSWER_TOKENS
     p50 = float(np.percentile(times, 50))
-    print(json.dumps({
+    line = {
         "metric": "p50 e2e latency per MVBench QA (16-frame encode + 608-token "
                   "prefill + 16-token greedy, one chip)"
                   + (" [int8 W8A8]" if int8 else ""),
         "value": round(p50, 1),
         "unit": "ms",
         "all_ms": [round(t, 1) for t in times],
-    }))
+    }
+
+    if from_video:
+        def one_qa_frames(fr):
+            vid = encode(params, fr, q_ids, q_mask)
+            embeds = jnp.concatenate([prefix, vid, suffix], axis=1)
+            return generate(params["llama"], embeds, llama_cfg=cfg.llama,
+                            gen=gen)
+
+        line["from_video"] = run_from_video(one_qa_frames, cfg)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -119,5 +119,13 @@ class Registry:
     def list_processors(cls):
         return sorted(cls._maps["processor"])
 
+    @classmethod
+    def list_lr_schedulers(cls):
+        return sorted(cls._maps["lr_scheduler"])
+
+    @classmethod
+    def list_runners(cls):
+        return sorted(cls._maps["runner"])
+
 
 registry = Registry

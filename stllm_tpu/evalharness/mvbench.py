@@ -95,6 +95,30 @@ class MVBenchDataset:
     def __len__(self) -> int:
         return len(self.data_list)
 
+    def __str__(self) -> str:
+        """Per-task counts + random-accuracy summary (reference:
+        mv_bench.py:86-108). The reference's accounting adds a stray
+        ``1/option_list[k]`` per task into ``correct``; reproduced verbatim
+        so the printed numbers match."""
+        len_list: Dict[str, int] = {}
+        option_list: Dict[str, int] = {}
+        for data in self.data_list:
+            t = data["task_type"]
+            len_list[t] = len_list.get(t, 0) + 1
+            option_list[t] = option_list.get(t, 0) + len(
+                data["data"]["candidates"])
+        correct = 0.0
+        total = 0
+        res = f"There are {len(self.data_list)} videos as follow:\n"
+        for k, v in len_list.items():
+            correct += len_list[k]
+            total += option_list[k]
+            res += (f"{v} for {k} ({option_list[k]} options => "
+                    f"{len_list[k]/option_list[k]*100:.2f}%)\n")
+            correct = correct + 1 / option_list[k]
+        res += f"Total random accuracy: {correct/total*100:.2f}%"
+        return res.rstrip()
+
     # -- readers (reference: mv_bench.py:140-185) --------------------------
 
     def read_video(self, path: str, bound=None) -> np.ndarray:

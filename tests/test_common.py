@@ -56,6 +56,28 @@ def test_dotlist_alternating_form():
     assert cfg == {"a": {"b": 5}, "c": "hello"}
 
 
+def test_runner_config_validator():
+    """ConfigValidator (reference config.py:174-471, never invoked there
+    either): unknown keys, bad types and out-of-choices values all raise;
+    valid run sections pass through."""
+    import pytest
+
+    from stllm_tpu.common.config import create_runner_config_validator
+
+    v = create_runner_config_validator()
+    ok = {"max_epoch": 3, "init_lr": 1e-4, "seed": 42,
+          "output_dir": "out", "device": "tpu", "num_beams": 5}
+    assert v.validate(ok) is ok
+    with pytest.raises(ValueError, match="not a valid argument"):
+        v.validate({"no_such_flag": 1})
+    with pytest.raises(ValueError, match="must be one of"):
+        v.validate({"device": "mps"})
+    with pytest.raises(ValueError, match="not a valid"):
+        v.validate({"max_epoch": "three point five.."})
+    assert "Runner configurations" in v.format_help()
+    assert "inference_method" in v.format_help()
+
+
 def test_smoothed_value_and_metric_logger():
     v = SmoothedValue(window_size=3)
     for x in [1.0, 2.0, 3.0, 4.0]:

@@ -119,6 +119,21 @@ def test_dataset_items(bench_dir):
     assert frame_item["video"].shape[1:] == (28, 28, 3)
 
 
+def test_dataset_str_summary(bench_dir):
+    """__str__ reproduces the reference's per-task summary + random-accuracy
+    arithmetic verbatim, including its stray 1/options accounting
+    (reference: mv_bench.py:86-108)."""
+    anno, media, data_list = bench_dir
+    ds = MVBenchDataset(anno, media, data_list, num_segments=4, resolution=28)
+    s = str(ds)
+    assert s.startswith("There are 3 videos as follow:")
+    assert "for Task A" in s and "for Task B" in s
+    # reference math on this fixture: Task A: 2 videos, 3+2=5 options;
+    # Task B: 1 video, 2 options. correct = 2 + 1/5 + 1 + 1/2; total = 7.
+    want = (2 + 1 / 5 + 1 + 1 / 2) / 7 * 100
+    assert f"Total random accuracy: {want:.2f}%" in s
+
+
 def test_qa_template_exact():
     q, a = MVBenchDataset.qa_template(
         {"question": "Q?", "candidates": ["x", "y"], "answer": "y"})
