@@ -161,6 +161,18 @@ def quant_kernels():
 
     ln = {"scale": jnp.asarray(rng.normal(size=(kdim,)), jnp.float32),
           "bias": jnp.asarray(rng.normal(size=(kdim,)), jnp.float32)}
+    # W4A16 Pallas kernel (int32-shift unpack; int8 shifts have no Mosaic
+    # lowering) vs the XLA composition
+    from stllm_tpu.ops.quant import (
+        quantize_weights_int4, w4_matmul, w4_matmul_pallas)
+
+    w4w = jnp.asarray(rng.normal(size=(kdim, n)) * 0.05, jnp.float32)
+    packed, pscale = quantize_weights_int4(w4w, group=None)
+    x4 = jnp.asarray(rng.normal(size=(2, kdim)), jnp.bfloat16)
+    got4 = jax.jit(lambda x: w4_matmul_pallas(x, packed, pscale))(x4)
+    want4 = w4_matmul(x4, packed, pscale)
+    check("w4_matmul_pallas", got4, want4, 5e-2)
+
     got_q, got_s = jax.jit(lambda x: layer_norm_quant(ln, x))(x)
     want_q, want_s = quantize_activations(layer_norm(ln, x))
     # codes may differ by 1 where bf16 rounding crosses a boundary; the

@@ -479,6 +479,89 @@ def w4_matmul(x: jax.Array, packed: jax.Array, scale: jax.Array) -> jax.Array:
     return y.astype(x.dtype)
 
 
+def _w4_pallas_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, k2: int,
+                      bk: int, n_k: int):
+    """One (n-tile, k-tile) step: unpack a packed block in VMEM via int32
+    shifts (int8 shl/sra have NO Mosaic lowering on this backend — verified
+    by bisection; int8->bf16 astype does), dot both halves, accumulate."""
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p32 = p_ref[:].astype(jnp.int32)
+    top = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(p32, jnp.int32(28)), jnp.int32(28))
+    bottom = jax.lax.shift_right_arithmetic(p32, jnp.int32(4))
+    ks = ki * bk
+    xt = x_ref[:, pl.dslice(ks, bk)]
+    xb = x_ref[:, pl.dslice(k2 + ks, bk)]
+    acc_ref[:] += jax.lax.dot_general(
+        xt, top.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] += jax.lax.dot_general(
+        xb, bottom.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[0]).astype(o_ref.dtype)
+
+
+def _w4_tiles(k2: int, n: int) -> Optional[Tuple[int, int]]:
+    """(bk, bn) for the decode kernel, or None if no aligned tiling exists.
+    VMEM budget: int32 unpack temps dominate (2 * bk * bn * 4 bytes)."""
+    bn = _pick_tile(n, 512)
+    if bn == 0:
+        return None
+    for bk in (2048, 1408, 1024, 704, 512, 256):
+        if k2 % bk == 0 and 2 * bk * bn * 4 <= 9 * 1024 * 1024:
+            return bk, bn
+    return None
+
+
+def w4_matmul_pallas(x: jax.Array, packed: jax.Array, scale: jax.Array
+                     ) -> Optional[jax.Array]:
+    """Pallas W4A16 matmul: packed weights cross HBM once (HALF the int8
+    bytes), unpack happens in VMEM. Per-channel scales only. x: (..., K).
+    Returns None when shapes don't tile (caller falls back to w4_matmul)."""
+    k2, n = packed.shape
+    if scale.ndim != 1:
+        return None
+    tiles = _w4_tiles(k2, n)
+    if tiles is None:
+        return None
+    bk, bn = tiles
+    lead = x.shape[:-1]
+    m = 1
+    for s in lead:
+        m *= s
+    # decode rows: pad M to the bf16 sublane tile
+    mp = max(16, -(-m // 16) * 16)
+    x2 = x.reshape(m, x.shape[-1]).astype(jnp.bfloat16)
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    n_k = k2 // bk
+    kern = functools.partial(_w4_pallas_kernel, k2=k2, bk=bk, n_k=n_k)
+    out = pl.pallas_call(
+        kern,
+        grid=(n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((mp, 2 * k2), lambda j, ki: (0, 0)),
+            pl.BlockSpec((bk, bn), lambda j, ki: (ki, j)),
+            pl.BlockSpec((1, bn), lambda j, ki: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((mp, bn), lambda j, ki: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((mp, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=jax.default_backend() == "cpu",
+    )(x2, packed, scale.reshape(1, n).astype(jnp.float32))
+    return out[:m].reshape(*lead, n).astype(x.dtype)
+
+
 def quantize_linear_params_int4(params: Dict, group: Optional[int] = None,
                                 free_dense: bool = False) -> Dict:
     """{'w': (K,N), 'b'?} -> {'w4', 'w4_scale', 'b'?} (see w4_linear)."""
@@ -493,8 +576,15 @@ def quantize_linear_params_int4(params: Dict, group: Optional[int] = None,
 
 
 def w4_linear(params: Dict, x: jax.Array) -> jax.Array:
-    """Drop-in for ops.layers.linear on int4-packed params."""
-    out = w4_matmul(x, params["w4"], params["w4_scale"])
+    """Drop-in for ops.layers.linear on int4-packed params. On TPU with
+    per-channel scales the Pallas kernel keeps the unpack in VMEM (the XLA
+    composition materializes unpacked bf16 weights in HBM — measured SLOWER
+    than int8 at 7B decode, 15.8 vs 12.7 ms/token)."""
+    out = None
+    if jax.default_backend() not in ("cpu",):
+        out = w4_matmul_pallas(x, params["w4"], params["w4_scale"])
+    if out is None:
+        out = w4_matmul(x, params["w4"], params["w4_scale"])
     if "b" in params:
         out = out + params["b"].astype(out.dtype)
     return out

@@ -210,6 +210,29 @@ class TestQuantMatmul:
             else:
                 rel_pc = rel
 
+    def test_w4_pallas_matches_xla(self):
+        """The Pallas W4A16 kernel (interpret mode on CPU) == the XLA
+        composition, including M-padding for small decode batches."""
+        from stllm_tpu.ops.quant import (
+            quantize_weights_int4, w4_matmul, w4_matmul_pallas)
+
+        rng = jax.random.PRNGKey(33)
+        k1, k2 = jax.random.split(rng)
+        kdim, n = 512, 384
+        w = jax.random.normal(k1, (kdim, n), jnp.float32) * 0.05
+        packed, scale = quantize_weights_int4(w, group=None)
+        for m_shape in ((1, kdim), (2, 3, kdim), (16, kdim)):
+            x = jax.random.normal(k2, m_shape, jnp.float32)
+            got = w4_matmul_pallas(x, packed, scale)
+            assert got is not None
+            want = w4_matmul(x, packed, scale)
+            np.testing.assert_allclose(np.asarray(got, np.float32),
+                                       np.asarray(want, np.float32),
+                                       atol=2e-2, rtol=2e-2)
+        # groupwise scales: kernel declines, caller falls back
+        packed_g, scale_g = quantize_weights_int4(w, group=128)
+        assert w4_matmul_pallas(x, packed_g, scale_g) is None
+
     def test_int4_llama_generates(self):
         """quantize_llama_params_int4 runs the full generate loop and stays
         near dense prefill logits."""
