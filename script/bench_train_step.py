@@ -68,22 +68,35 @@ def main():
                          "on one 16 GB chip)")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--lora-r", type=int, default=16)
+    ap.add_argument("--layers", type=int, default=32,
+                    help="LLaMA depth (bisection aid)")
+    ap.add_argument("--no-mask", action="store_true",
+                    help="disable the MVM teacher pass (bisection aid)")
     args = ap.parse_args()
 
     cfg = STLLMConfig(
         vit_model="eva_btadapter_g",
         vit=dataclasses.replace(EVA_VIT_G, gelu_approx=True, remat=True),
         llama=dataclasses.replace(VICUNA_7B, remat=True,
+                                  num_layers=args.layers,
                                   max_positions=2048),
-        use_mask=True,
+        use_mask=not args.no_mask,
     )
     print("initializing full-size params ...", flush=True)
-    params = init_stllm(jax.random.PRNGKey(0), cfg)
+    if args.bf16_base:
+        params = init_stllm(jax.random.PRNGKey(0), cfg)
+    else:
+        # ORDER MATTERS on 16 GB: the bf16 7B (13.5 GB) + ViT tower together
+        # OOM at init. Build + quantize the LLaMA alone first (-> ~6.9 GB),
+        # then add the vision tower.
+        from stllm_tpu.models.llama import init_llama
+
+        llama = init_llama(jax.random.PRNGKey(2), cfg.llama)
+        llama = quantize_llama_params(llama, free_dense=True, a16=True)
+        params = init_stllm(jax.random.PRNGKey(0), cfg,
+                            init_llama_params=False)
+        params["llama"] = llama  # init_llama_params=False leaves None here
     params = add_lora(params, jax.random.PRNGKey(1), r=args.lora_r)
-    if not args.bf16_base:
-        # frozen base -> weight-only int8 (in-place; 16 GB cannot hold both)
-        params["llama"] = quantize_llama_params(
-            params["llama"], free_dense=True, a16=True)
 
     optimizer = make_optimizer(learning_rate=1e-4)
     state = create_train_state(params, optimizer, default_trainable())

@@ -61,7 +61,13 @@ def init_btadapter(rng: jax.Array, cfg: ViTConfig, depth: int = 3) -> Dict:
                 },
             }
         )
-    spatial = jax.tree_util.tree_map(lambda x: x, params["blocks"][-depth:])
+    # REAL copies, not aliases: the trunk is frozen while the branch trains,
+    # so a shared buffer would appear on both sides of the partitioned train
+    # state and fail jit donation ("attempt to donate the same buffer
+    # twice"). The reference also copies by value (load_state_dict in
+    # init_weights, eva_btadapter.py:89-99).
+    spatial = jax.tree_util.tree_map(
+        lambda x: jnp.array(x, copy=True), params["blocks"][-depth:])
     params["btadapter"] = {
         "cls": jnp.zeros((1, 1, d), cfg.dtype),
         "time_embed": jax.random.normal(next(ks), (MAX_BTADAPTER_FRAMES, d)).astype(cfg.dtype),

@@ -39,13 +39,22 @@ def add_lora(params: Dict, rng: jax.Array, r: int, alpha: float = 32.0,
     for layer in llama["layers"]:
         layer = dict(layer)
         for t in targets:
-            d_in, d_out = layer[t]["w"].shape
+            base = layer[t]
+            if "w" in base:
+                d_in, d_out = base["w"].shape
+            elif "w4" in base:  # int4-packed: rows are K/2 (ops/quant.py)
+                d_in, d_out = 2 * base["w4"].shape[0], base["w4"].shape[1]
+            else:               # w_q / w_q16 int8 forms keep (K, N)
+                wq = base.get("w_q", base.get("w_q16"))
+                d_in, d_out = wq.shape
+            adapter_dtype = (base["w"].dtype if "w" in base
+                             else jnp.bfloat16)  # quantized base: bf16 adapters
             bound = (6.0 / d_in) ** 0.5  # kaiming-uniform a=sqrt(5) on (r, d_in)
             layer[f"{t}_lora"] = {
                 "a": jax.random.uniform(next(ki), (d_in, r),
                                         jnp.float32, -bound, bound
-                                        ).astype(layer[t]["w"].dtype),
-                "b": jnp.zeros((r, d_out), layer[t]["w"].dtype),
+                                        ).astype(adapter_dtype),
+                "b": jnp.zeros((r, d_out), adapter_dtype),
                 "alpha": jnp.asarray(alpha, jnp.float32),
             }
         layers.append(layer)

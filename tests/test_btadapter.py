@@ -138,6 +138,57 @@ def test_freeze_policy_trains_branch_only():
     assert out.shape == (1, T, tiny.num_query, tiny.llama.hidden)
 
 
+def test_no_buffer_aliasing_with_trunk(params):
+    """Regression (round 3): init_btadapter must COPY the last trunk blocks,
+    not alias them — the trunk is frozen while the branch trains, so a
+    shared buffer lands on both sides of the partitioned train state and
+    fails jit donation ('attempt to donate the same buffer twice')."""
+    trunk_ids = {id(l) for l in jax.tree_util.tree_leaves(
+        params["blocks"][-2:])}
+    branch_ids = {id(l) for l in jax.tree_util.tree_leaves(
+        params["btadapter"]["spatial"])}
+    assert not (trunk_ids & branch_ids)
+
+    # and the donated train step actually runs with the branch trainable
+    from stllm_tpu.train.step import (
+        create_train_state, default_trainable, make_optimizer,
+        make_train_step)
+    from stllm_tpu.models.stllm import STLLMConfig
+    from stllm_tpu.models.llama import LlamaConfig
+    from stllm_tpu.models.qformer import QFormerConfig
+    from stllm_tpu.models.stllm import init_stllm
+    from stllm_tpu.data.packing import pack_training_batch
+
+    cfg = STLLMConfig(
+        vit_model="eva_btadapter_g", vit=CFG, btadapter_depth=2,
+        qformer=QFormerConfig(hidden=32, num_layers=2, heads=4,
+                              intermediate=64, encoder_width=CFG.width,
+                              num_query=8, vocab_size=128,
+                              dtype=jnp.float32),
+        llama=LlamaConfig(vocab_size=256, hidden=64, num_layers=2, heads=4,
+                          intermediate=128, max_positions=256,
+                          dtype=jnp.float32),
+        use_mask=False,
+    )
+    full = init_stllm(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(1e-3)
+    state = create_train_state(full, opt, default_trainable())
+    step = jax.jit(make_train_step(cfg, opt), donate_argnums=(0,))
+    rng = np.random.default_rng(0)
+    v = cfg.num_video_tokens(T)
+    batch = pack_training_batch([[5]], [[8]], [[9, 10]], num_video=v,
+                                seq_len=64, pad_id=0)
+    batch = {k: jnp.asarray(x) for k, x in batch.items()}
+    batch["frames"] = jnp.asarray(rng.normal(size=(1, T, 28, 28, 3)),
+                                  jnp.float32)
+    batch["qformer_input_ids"] = jnp.asarray(
+        rng.integers(0, 128, (1, 6)), jnp.int32)
+    batch["qformer_attention_mask"] = jnp.ones((1, 6), jnp.int32)
+    state, metrics = step(state, batch)
+    state, metrics = step(state, batch)  # donated re-entry
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_single_frame_t1(params):
     """T=1 degenerates gracefully (temporal attention over one frame)."""
     out = btadapter_forward(params, _frames(t=1), CFG, num_frames=1)
