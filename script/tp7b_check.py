@@ -81,23 +81,30 @@ def main():
     )
 
     # --- check 1: TP rule placement at 7B shapes ---
+    # freeze_llm=False puts the LLaMA in state.params (trainable), so scan
+    # BOTH partitions and require the llama prefix (a bare 'q' would also
+    # match the Q-Former attention).
     checks = {}
-    llama_sh = stllm_param_shardings(
-        mesh, state_shape.frozen, min_size=2 ** 14)
-    flat = jax.tree_util.tree_flatten_with_path(llama_sh)[0]
-    shapes = jax.tree_util.tree_flatten_with_path(state_shape.frozen)[0]
-    shape_by_path = {jax.tree_util.keystr(p): s for p, s in shapes}
-    for path, sharding in flat:
-        key = jax.tree_util.keystr(path)
-        spec = sharding.spec
-        if "'q'" in key and key.endswith("['w']"):
-            checks.setdefault("q_column_parallel", spec[1] == "model")
-        if "'o'" in key and key.endswith("['w']"):
-            checks.setdefault("o_row_parallel", spec[0] == "model")
-        if "'up'" in key and key.endswith("['w']"):
-            checks.setdefault("up_column_parallel", spec[1] == "model")
-        if "'down'" in key and key.endswith("['w']"):
-            checks.setdefault("down_row_parallel", spec[0] == "model")
+    for part in (state_shape.params, state_shape.frozen):
+        part_sh = stllm_param_shardings(mesh, part, min_size=2 ** 14)
+        for path, sharding in jax.tree_util.tree_flatten_with_path(part_sh)[0]:
+            key = jax.tree_util.keystr(path)
+            if "'llama'" not in key or not key.endswith("['w']"):
+                continue
+            spec = sharding.spec
+            for fam, want in (("q", ("col", 1)), ("v", ("col", 1)),
+                              ("gate", ("col", 1)), ("up", ("col", 1)),
+                              ("o", ("row", 0)), ("down", ("row", 0))):
+                if key.endswith(f"['{fam}']['w']"):
+                    checks.setdefault(
+                        f"{fam}_{want[0]}_parallel",
+                        len(spec) > want[1] and spec[want[1]] == "model")
+
+    rules_ok = all(checks.values()) and len(checks) == 6
+    if "--rules-only" in sys.argv:  # fast path: skip the 7B AOT compile
+        print(json.dumps({"tp_rule_checks": checks, "tp_rules_ok": rules_ok},
+                         indent=2))
+        sys.exit(0 if rules_ok else 1)
 
     b = GLOBAL_BATCH
     v = cfg.num_video_tokens(FRAMES)
@@ -141,7 +148,7 @@ def main():
     report = {
         "what": "AOT FSDP(2) x TP(4) 7B MVM train step on v5e:2x4",
         "tp_rule_checks": checks,
-        "tp_rules_ok": all(checks.values()) and len(checks) == 4,
+        "tp_rules_ok": all(checks.values()) and len(checks) == 6,
         "collectives": coll,
         "collectives_ok": bool(coll["all_gather"]
                                and (coll["reduce_scatter"]
