@@ -511,11 +511,20 @@ def _w4_pallas_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, k2: int,
 
 def _w4_tiles(k2: int, n: int) -> Optional[Tuple[int, int]]:
     """(bk, bn) for the decode kernel, or None if no aligned tiling exists.
-    VMEM budget: int32 unpack temps dominate (2 * bk * bn * 4 bytes)."""
+    VMEM budget: int32 unpack temps dominate (2 * bk * bn * 4 bytes).
+    Large bk wins in PRODUCTION (capping bk at 1024 measured 12.46 vs
+    11.58 ms/token end-to-end) even though a chained-reps microbenchmark
+    shows (2048, bn) tiles pathologically slow (probe_w4_unpack.py) — the
+    serialized-chain schedule is not representative of the decode loop;
+    tile decisions must come from script/bench_decode.py."""
     bn = _pick_tile(n, 512)
     if bn == 0:
         return None
-    for bk in (2048, 1408, 1024, 704, 512, 256):
+    # bk candidates must be 128-multiples: the kernel slices x at lane
+    # offsets k2 + ki*bk, and Mosaic rejects loads it cannot prove
+    # 128-aligned (a bk=704 candidate failed exactly that way at the
+    # verify_tpu kdim=1408 shape; such k2 now take the K-pad path).
+    for bk in (2048, 1408, 1024, 512, 256):
         if k2 % bk == 0 and 2 * bk * bn * 4 <= 9 * 1024 * 1024:
             return bk, bn
     return None
@@ -529,7 +538,15 @@ def w4_matmul_pallas(x: jax.Array, packed: jax.Array, scale: jax.Array
     k2, n = packed.shape
     if scale.ndim != 1:
         return None
-    tiles = _w4_tiles(k2, n)
+    # K-pad when k2 has no aligned tiling (7B down matmul: k2=5504 ->
+    # 5632, which tiles as (1408, 512)). Zero codes/zero activations
+    # contribute nothing; the padded copy of `packed` is loop-invariant in
+    # the decode scan, so XLA hoists it (one-time copy, not a per-token
+    # cost). Moving the down matmul off the XLA fallback (which hoists the
+    # full (K, N) bf16 dequant, i.e. bf16-sized weight reads) onto the
+    # packed in-VMEM kernel measured 11.99 -> 11.58 ms/token at 7B.
+    k2p = k2 if _w4_tiles(k2, n) else -(-k2 // 512) * 512
+    tiles = _w4_tiles(k2p, n)
     if tiles is None:
         return None
     bk, bn = tiles
@@ -542,6 +559,11 @@ def w4_matmul_pallas(x: jax.Array, packed: jax.Array, scale: jax.Array
     x2 = x.reshape(m, x.shape[-1]).astype(jnp.bfloat16)
     if mp != m:
         x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    if k2p != k2:
+        zpad = jnp.zeros((mp, k2p - k2), jnp.bfloat16)
+        x2 = jnp.concatenate([x2[:, :k2], zpad, x2[:, k2:], zpad], axis=1)
+        packed = jnp.pad(packed, ((0, k2p - k2), (0, 0)))
+        k2 = k2p
     n_k = k2 // bk
     kern = functools.partial(_w4_pallas_kernel, k2=k2, bk=bk, n_k=n_k)
     out = pl.pallas_call(

@@ -233,6 +233,29 @@ class TestQuantMatmul:
         packed_g, scale_g = quantize_weights_int4(w, group=128)
         assert w4_matmul_pallas(x, packed_g, scale_g) is None
 
+    def test_w4_pallas_k_padding(self):
+        """K dims with no aligned tiling (e.g. the 7B down matmul's
+        k2=5504) are zero-padded to a 512-multiple inside the kernel
+        wrapper instead of falling back to XLA (round 3: the XLA fallback
+        hoists a full bf16 dequant out of the decode scan — bf16-sized
+        weight reads; measured 11.99 -> 11.58 ms/token at 7B)."""
+        from stllm_tpu.ops.quant import (
+            _w4_tiles, quantize_weights_int4, w4_matmul, w4_matmul_pallas)
+
+        for kdim, n in ((320, 384), (1376, 256)):
+            assert _w4_tiles(kdim // 2, n) is None  # needs the pad path
+            w = jax.random.normal(jax.random.PRNGKey(40), (kdim, n),
+                                  jnp.float32) * 0.05
+            x = jax.random.normal(jax.random.PRNGKey(41), (3, kdim),
+                                  jnp.float32)
+            packed, scale = quantize_weights_int4(w, group=None)
+            got = w4_matmul_pallas(x, packed, scale)
+            assert got is not None, (kdim, n)
+            want = w4_matmul(x, packed, scale)
+            np.testing.assert_allclose(np.asarray(got, np.float32),
+                                       np.asarray(want, np.float32),
+                                       atol=2e-2, rtol=2e-2)
+
     def test_int4_llama_generates(self):
         """quantize_llama_params_int4 runs the full generate loop and stays
         near dense prefill logits."""
