@@ -20,6 +20,8 @@ Covers (dispatch map in stllm_tpu/ops/attention.py:flash_attention):
   - Pallas flash two-kernel backward (dq / dkv)
   - fused single-pass short-seq kernel, fwd + bwd           (S < 1024 tier)
   - packed-qkv kernel, dense + int8-epilogue variants       (ViT shape)
+  - static-int8-qkv kernel, s8-dot + bf16-upcast variants   (ViT shape)
+  - epilogue-carried-LN kernel (s8 dot + residual + LN + static int8)
   - dynamic-quant matmul kernel (quant_matmul_pallas)
   - producer-fused LN->int8 and GELU->int8 kernels
   - ring attention via shard_map (1-device mesh)
@@ -139,6 +141,24 @@ def packed_qkv():
           oq.astype(np.float32) * np.asarray(osc),
           np.asarray(wq, np.float32) * np.asarray(wsc), 6e-2)
 
+    # static-int8 qkv kernel (round 3): s8 QK^T + bf16-upcast variants
+    from stllm_tpu.ops.attention import (
+        _packed_s8_reference, fused_qkv_attention_quant_static)
+
+    qkv_q = jnp.asarray(rng.integers(-127, 128, (b, s, 3 * h * d)), jnp.int8)
+    sq, sk, sv = 0.009, 0.011, 0.008
+    wq2, wsc2 = _packed_s8_reference(qkv_q, sq, sk, sv, h, d, d ** -0.5)
+    want_deq = np.asarray(wq2, np.float32) * np.asarray(wsc2)
+    for mode, int8_dot in (("s8-dot", True), ("bf16-dot", False)):
+        got2 = jax.jit(lambda x: fused_qkv_attention_quant_static(
+            x, sq, sk, sv, h, d, int8_dot=int8_dot))(qkv_q)
+        if got2 is None:
+            FAIL.append(f"packed-qkv s8 {mode} (declined)")
+            continue
+        check(f"packed-qkv s8 {mode} (dequant)",
+              got2[0].astype(np.float32) * np.asarray(got2[1]),
+              want_deq, 6e-2)
+
 
 def quant_kernels():
     from stllm_tpu.ops.quant import (
@@ -172,6 +192,26 @@ def quant_kernels():
     got4 = jax.jit(lambda x: w4_matmul_pallas(x, packed, pscale))(x4)
     want4 = w4_matmul(x4, packed, pscale)
     check("w4_matmul_pallas", got4, want4, 5e-2)
+
+    # epilogue-carried LN kernel (s8 dot + residual + LN + static int8)
+    from stllm_tpu.ops.quant import (
+        quant_matmul_res_ln_static, quant_matmul_res_ln_static_reference)
+
+    hq = jnp.asarray(rng.integers(-127, 128, (b, s, kdim)), jnp.int8)
+    hs = jnp.asarray(rng.uniform(0.001, 0.01, (b, s, 1)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(n,)) * 0.02, jnp.float32)
+    pq = {"w_q": wq, "w_scale": ws, "b": bias}
+    fused = jax.jit(lambda hq, hs, x: quant_matmul_res_ln_static(
+        hq, hs, pq, x, ln, 0.05))(hq, hs, x)
+    if fused is None:
+        FAIL.append("quant_matmul_res_ln_static (declined)")
+    else:
+        wx, wyq = quant_matmul_res_ln_static_reference(hq, hs, pq, x, ln, 0.05)
+        check("res_ln_static (x_new)", fused[0].astype(jnp.float32),
+              wx.astype(jnp.float32), 5e-2)
+        check("res_ln_static (yq dequant)",
+              fused[1].astype(np.float32) * 0.05,
+              np.asarray(wyq, np.float32) * 0.05, 0.08)
 
     got_q, got_s = jax.jit(lambda x: layer_norm_quant(ln, x))(x)
     want_q, want_s = quantize_activations(layer_norm(ln, x))

@@ -164,7 +164,12 @@ def _spatial_layer_quant_static(layer: Dict, x: jax.Array, b: int, t: int,
     h = jnp.concatenate([cls_t, q_t], axis=1)                  # (B*T, 1+P, D)
     hq = layer_norm_quant_static(layer["norm1"], h, sc["qkv"], cfg.ln_eps)
     qkv = quant_matmul_pre(hq, sc["qkv"], _qkv_with_bias(layer), x.dtype)
-    oq, os_ = fused_qkv_attention_quant(qkv, cfg.heads, cfg.head_dim)
+    if "attn" in sc:  # static-int8 qkv attention (vit.py round 3)
+        from stllm_tpu.models.vit import _attn_quant_static
+
+        oq, os_ = _attn_quant_static(layer, qkv, cfg)
+    else:
+        oq, os_ = fused_qkv_attention_quant(qkv, cfg.heads, cfg.head_dim)
     att = quant_matmul_pre(oq, os_, layer["proj"], x.dtype)
     cls_out = att[:, :1].reshape(b, t, 1, d).mean(axis=1)
     sp = att[:, 1:].reshape(b, t, p, d).transpose(0, 2, 1, 3).reshape(b, p * t, d)
@@ -260,8 +265,12 @@ def calibrate_btadapter_scales(params_q: Dict, images: jax.Array,
         f1 = quant_linear(layer["fc1"], hn2)
         g = jax.nn.gelu(f1, approximate=True) if cfg.gelu_approx else gelu(f1)
         nxt = x + quant_linear(layer["fc2"], g)
+        bt_, n_, _ = qkv.shape
+        attn_amax = jnp.max(  # per-third (q/k/v) amax, as in vit.block_stats
+            jnp.abs(qkv.astype(jnp.float32).reshape(bt_, n_, 3, -1)),
+            axis=(0, 1, 3))
         return nxt, {"qkv": amax(hn), "proj": amax(out), "fc1": amax(hn2),
-                     "fc2": amax(g)}
+                     "fc2": amax(g), "attn": attn_amax}
 
     branch_layers = len(params_q["btadapter"]["temp"])
     start = cfg.depth - branch_layers

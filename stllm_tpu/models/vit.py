@@ -16,13 +16,33 @@ TPU-first choices:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
+# Epilogue-carried LN in the static-int8 encode (see _vit_blocks_fused_static);
+# env hook for A/B benchmarking: "1" fuses both sites, "proj"/"fc2" one site.
+# Default OFF from the measured matrix (v5e, 64-frame static encode, fr/s):
+# off 432.6 / proj 432.5 / fc2 421.0 / both 419.2 — the proj site is
+# exactly neutral on top of the int8-qkv path and the fc2 site loses (the
+# K=6144 matmul's k-exit epilogue stalls its longer k-pipeline), so the
+# simple per-block path stays the default and the kernel remains available
+# for A/Bs.
+FUSED_LN = os.environ.get("STLLM_FUSED_LN", "0")
+FUSED_LN = {"0": False, "1": "both"}.get(FUSED_LN, FUSED_LN)
+
+# Static-int8 qkv feeding attention (round 3): the qkv matmul epilogue emits
+# int8 with calibrated per-third (q/k/v) scales, halving the attention
+# kernel's HBM read; "1" = s8 QK^T on the MXU, "bf16" = in-VMEM upcast dot,
+# "0" = off (bf16 qkv, round-2 path). Measured (same harness as above):
+# int8 dot 432.6 / bf16-upcast 424.2 / off 426.8 fr/s.
+INT8_QKT = os.environ.get("STLLM_INT8_QKT", "1")
+
 from stllm_tpu.ops.attention import (
-    flash_attention, fused_qkv_attention, fused_qkv_attention_quant)
+    flash_attention, fused_qkv_attention, fused_qkv_attention_quant,
+    fused_qkv_attention_quant_static)
 from stllm_tpu.ops.layers import gelu, init_layer_norm, init_linear, layer_norm, linear
 
 
@@ -184,9 +204,14 @@ def calibrate_vit_scales(params_q: Dict, images: jax.Array, cfg: ViTConfig,
         h = quant_matmul_pre(hq2, hs2, block["fc1"], x.dtype)
         gq, gs = gelu_quant(h, approx=cfg.gelu_approx)
         h = quant_matmul_pre(gq, gs, block["fc2"], x.dtype)
+        b_, n_, _ = qkv.shape
+        attn_amax = jnp.max(  # per-third (q/k/v) amax of the qkv output
+            jnp.abs(qkv.astype(jnp.float32).reshape(b_, n_, 3, -1)),
+            axis=(0, 1, 3))
         return x + h, {"qkv": 127.0 * jnp.max(hs),
                        "fc1": 127.0 * jnp.max(hs2),
-                       "fc2": 127.0 * jnp.max(gs)}
+                       "fc2": 127.0 * jnp.max(gs),
+                       "attn": attn_amax}
 
     x = prologue(images)
     stats = []
@@ -199,7 +224,7 @@ def calibrate_vit_scales(params_q: Dict, images: jax.Array, cfg: ViTConfig,
         b = dict(blk)
         b["act_scales"] = {
             k: jnp.float32(margin) * st[k].astype(jnp.float32) / 127.0
-            for k in ("qkv", "fc1", "fc2")
+            for k in ("qkv", "fc1", "fc2", "attn")
         }
         out["blocks"].append(b)
     return out
@@ -277,6 +302,38 @@ def _vit_block_quant(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
     return x + h
 
 
+def _attn_quant_static(block: Dict, qkv: jax.Array, cfg: ViTConfig):
+    """Attention step of the static-int8 block: with calibrated per-third
+    qkv scales (act_scales["attn"]) and INT8_QKT on, quantize the qkv matmul
+    output to STATIC int8 in its epilogue (one elementwise fusion) and run
+    the s8-input packed kernel — half the attention HBM read. Falls back to
+    the bf16 packed kernel (in which case XLA dead-code-eliminates the
+    quantize). Returns (oq int8, os fp32)."""
+    from stllm_tpu.ops.quant import quantize_activations, quantize_static
+
+    b, n, _ = qkv.shape
+    sc = block["act_scales"]
+    if INT8_QKT != "0" and "attn" in sc and cfg.use_flash is None:
+        col_scale = jnp.repeat(sc["attn"].astype(jnp.float32),
+                               cfg.heads * cfg.head_dim)
+        qkv_q = quantize_static(qkv, col_scale)
+        res = fused_qkv_attention_quant_static(
+            qkv_q, sc["attn"][0], sc["attn"][1], sc["attn"][2],
+            cfg.heads, cfg.head_dim, int8_dot=(INT8_QKT != "bf16"))
+        if res is not None:
+            return res
+    if cfg.use_flash is None:
+        return fused_qkv_attention_quant(qkv, cfg.heads, cfg.head_dim)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    out = flash_attention(
+        q.reshape(b, n, cfg.heads, cfg.head_dim),
+        k.reshape(b, n, cfg.heads, cfg.head_dim),
+        v.reshape(b, n, cfg.heads, cfg.head_dim),
+        use_pallas=cfg.use_flash,
+    )
+    return quantize_activations(out.reshape(b, n, qkv.shape[-1] // 3))
+
+
 def _vit_block_quant_static(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
     """int8 block with CALIBRATED per-tensor activation scales
     (block["act_scales"], see calibrate_vit_scales): quantization is
@@ -285,8 +342,7 @@ def _vit_block_quant_static(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Ar
     activation-quant kernels at all (ops/quant.py static section). The
     attention output keeps the free in-kernel dynamic quant."""
     from stllm_tpu.ops.quant import (
-        layer_norm_quant_static, quant_matmul_pre, quant_mlp_static,
-        quantize_activations)
+        layer_norm_quant_static, quant_matmul_pre, quant_mlp_static)
 
     b, n, d = x.shape
     sc = block["act_scales"]
@@ -296,23 +352,67 @@ def _vit_block_quant_static(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Ar
     )
     qkv = quant_matmul_pre(hq, sc["qkv"], {**block["qkv"], "b": qkv_bias},
                            x.dtype)
-    if cfg.use_flash is None:
-        oq, os_ = fused_qkv_attention_quant(qkv, cfg.heads, cfg.head_dim)
-    else:
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        out = flash_attention(
-            q.reshape(b, n, cfg.heads, cfg.head_dim),
-            k.reshape(b, n, cfg.heads, cfg.head_dim),
-            v.reshape(b, n, cfg.heads, cfg.head_dim),
-            use_pallas=cfg.use_flash,
-        )
-        oq, os_ = quantize_activations(out.reshape(b, n, d))
+    oq, os_ = _attn_quant_static(block, qkv, cfg)
     x = x + quant_matmul_pre(oq, os_, block["proj"], x.dtype)
 
     hq = layer_norm_quant_static(block["norm2"], x, sc["fc1"], cfg.ln_eps)
     h = quant_mlp_static(hq, sc["fc1"], block["fc1"], sc["fc2"], block["fc2"],
                          x.dtype, approx=cfg.gelu_approx)
     return x + h
+
+
+def _vit_blocks_fused_static(blocks, x: jax.Array, cfg: ViTConfig
+                             ) -> Optional[jax.Array]:
+    """Static-int8 block pipeline with EPILOGUE-CARRIED LayerNorm (round 3):
+    each LN runs inside the k-exit of the s8 matmul that produces its input
+    (proj -> norm2, fc2 -> next block's norm1), so the LN stats pass never
+    re-reads the residual stream from HBM (ops/quant.py
+    quant_matmul_res_ln_static). The loop carries (x, hq) where hq is the
+    already-normalized int8 input of the next qkv matmul. Returns None when
+    any shape declines the fused kernel (caller runs the unfused loop)."""
+    from stllm_tpu.ops.quant import (
+        layer_norm_quant_static, quant_fc1_gelu_static, quant_matmul_pre,
+        quant_matmul_res_ln_static)
+
+    b, n, d = x.shape
+    hq = layer_norm_quant_static(
+        blocks[0]["norm1"], x, blocks[0]["act_scales"]["qkv"], cfg.ln_eps)
+    for i, block in enumerate(blocks):
+        sc = block["act_scales"]
+        qkv_bias = jnp.concatenate(
+            [block["q_bias"], jnp.zeros_like(block["q_bias"]),
+             block["v_bias"]])
+        qkv = quant_matmul_pre(hq, sc["qkv"],
+                               {**block["qkv"], "b": qkv_bias}, x.dtype)
+        oq, os_ = _attn_quant_static(block, qkv, cfg)
+        if FUSED_LN in ("both", "proj"):
+            fused = quant_matmul_res_ln_static(
+                oq, os_, block["proj"], x, block["norm2"], sc["fc1"],
+                cfg.ln_eps)
+            if fused is None:
+                return None
+            x, hq = fused
+        else:
+            x = x + quant_matmul_pre(oq, os_, block["proj"], x.dtype)
+            hq = layer_norm_quant_static(block["norm2"], x, sc["fc1"],
+                                         cfg.ln_eps)
+        gq = quant_fc1_gelu_static(hq, sc["fc1"], block["fc1"], sc["fc2"],
+                                   approx=cfg.gelu_approx)
+        nxt = blocks[i + 1] if i + 1 < len(blocks) else None
+        if nxt is None:
+            return x + quant_matmul_pre(gq, sc["fc2"], block["fc2"], x.dtype)
+        if FUSED_LN in ("both", "fc2"):
+            fused = quant_matmul_res_ln_static(
+                gq, sc["fc2"], block["fc2"], x, nxt["norm1"],
+                nxt["act_scales"]["qkv"], cfg.ln_eps)
+            if fused is None:
+                return None
+            x, hq = fused
+        else:
+            x = x + quant_matmul_pre(gq, sc["fc2"], block["fc2"], x.dtype)
+            hq = layer_norm_quant_static(nxt["norm1"], x,
+                                         nxt["act_scales"]["qkv"], cfg.ln_eps)
+    return x
 
 
 def vit_block(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
@@ -335,10 +435,16 @@ def vit_forward(params: Dict, images: jax.Array, cfg: ViTConfig) -> jax.Array:
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(x.dtype)
 
+    blocks = params["blocks"]
+    if (FUSED_LN and not cfg.remat and blocks
+            and all("act_scales" in bl for bl in blocks)):
+        fused = _vit_blocks_fused_static(blocks, x, cfg)
+        if fused is not None:
+            return fused
     block_fn = vit_block
     if cfg.remat:
         block_fn = jax.checkpoint(vit_block, static_argnums=(2,))
-    for block in params["blocks"]:
+    for block in blocks:
         x = block_fn(block, x, cfg)
     return x
 

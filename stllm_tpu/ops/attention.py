@@ -827,6 +827,127 @@ def fused_qkv_attention_quant(qkv: jax.Array, heads: int, head_dim: int, *,
     return shard_batched(raw, qkv)
 
 
+def _packed_qkv_s8_kernel(qkv_ref, qks_ref, vs_ref, oq_ref, os_ref, acc_ref,
+                          *, heads: int, head_dim: int, int8_dot: bool):
+    """Packed-qkv attention on STATIC-int8 qkv (round 3): the qkv tensor
+    arrives as int8 (half the HBM read of the bf16 kernel), QK^T runs as an
+    s8xs8->s32 MXU dot when ``int8_dot`` (else via astype(bf16) in VMEM),
+    and P.V folds the v scale into the output normalization. Same clamped
+    no-max-pass softmax and W8A8 row-quant epilogue as
+    _packed_qkv_quant_kernel."""
+    hd = heads * head_dim
+    qk_scale = qks_ref[0, 0] * _LOG2E
+    v_scale = vs_ref[0, 0]
+    for h in range(heads):
+        qsl = slice(h * head_dim, (h + 1) * head_dim)
+        ksl = slice(hd + h * head_dim, hd + (h + 1) * head_dim)
+        vsl = slice(2 * hd + h * head_dim, 2 * hd + (h + 1) * head_dim)
+        if int8_dot:
+            s = jax.lax.dot_general(
+                qkv_ref[0, :, qsl], qkv_ref[0, :, ksl],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * qk_scale
+        else:
+            s = jax.lax.dot_general(
+                qkv_ref[0, :, qsl].astype(jnp.bfloat16),
+                qkv_ref[0, :, ksl].astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * qk_scale
+        p = jnp.exp2(jnp.minimum(s, _EXP2_CLAMP) - _EXP2_CLAMP)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), qkv_ref[0, :, vsl].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:, qsl] = o * (v_scale / jnp.where(l == 0.0, 1.0, l))
+    y = acc_ref[:]
+    amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    row_scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+    oq_ref[0] = jnp.round(y / row_scale).astype(jnp.int8)
+    os_ref[0] = row_scale
+
+
+def _packed_s8_reference(qkv_q, q_scale, k_scale, v_scale, heads, head_dim,
+                         scale):
+    """XLA ground truth with the kernel's exact math (exact-int QK^T in
+    fp32, clamped-exp2 softmax, bf16 P, v scale on the output)."""
+    b, s, _ = qkv_q.shape
+    hd = heads * head_dim
+    q, k, v = jnp.split(qkv_q, 3, axis=-1)
+    qh = q.reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, s, heads, head_dim).transpose(0, 2, 1, 3)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qh.astype(jnp.float32), kh.astype(jnp.float32)
+    ) * (q_scale * k_scale * scale * _LOG2E)
+    p = jnp.exp2(jnp.minimum(logits, _EXP2_CLAMP) - _EXP2_CLAMP)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(jnp.bfloat16).astype(jnp.float32),
+                   vh.astype(jnp.float32))
+    o = o * (v_scale / jnp.where(l == 0.0, 1.0, l))
+    out = o.transpose(0, 2, 1, 3).reshape(b, s, hd)
+    from stllm_tpu.ops.quant import quantize_activations
+
+    return quantize_activations(out)
+
+
+def fused_qkv_attention_quant_static(qkv_q: jax.Array, q_scale, k_scale,
+                                     v_scale, heads: int, head_dim: int, *,
+                                     scale: Optional[float] = None,
+                                     int8_dot: bool = True,
+                                     interpret: bool = False):
+    """Packed-qkv attention taking STATIC-int8 qkv (B, S, 3*H*D) + the three
+    calibrated per-third scales (models/vit.py:calibrate_vit_scales). Returns
+    (out_q int8 (B, S, H*D), out_scale fp32 (B, S, 1)) like
+    fused_qkv_attention_quant, but reads half the qkv bytes from HBM and can
+    run QK^T on the int8 MXU path. Inference-only. Returns None on misfit
+    (caller dequantizes and takes the bf16 path)."""
+    b, s, f = qkv_q.shape
+    hd = heads * head_dim
+    assert f == 3 * hd, (f, heads, head_dim)
+    scale = (head_dim ** -0.5) if scale is None else scale
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if (not _packed_qkv_feasible(s, heads, head_dim, 1)
+            or (not on_tpu and not interpret)
+            or b % kernel_shard_count()):
+        return None
+    if jax.default_backend() == "cpu":
+        interpret = True
+    qks = (jnp.asarray(q_scale, jnp.float32)
+           * jnp.asarray(k_scale, jnp.float32) * scale).reshape(1, 1)
+    vs = jnp.asarray(v_scale, jnp.float32).reshape(1, 1)
+
+    def raw(qkv_q, qks, vs):
+        b, s, _ = qkv_q.shape
+        kern = functools.partial(_packed_qkv_s8_kernel, heads=heads,
+                                 head_dim=head_dim, int8_dot=int8_dot)
+        scalar = pl.BlockSpec((1, 1), lambda i: (0, 0))
+        return pl.pallas_call(
+            kern,
+            grid=(b,),
+            in_specs=[pl.BlockSpec((1, s, 3 * hd), lambda i: (i, 0, 0)),
+                      scalar, scalar],
+            out_specs=[
+                pl.BlockSpec((1, s, hd), lambda i: (i, 0, 0)),
+                pl.BlockSpec((1, s, 1), lambda i: (i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, s, hd), jnp.int8),
+                jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((s, hd), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(qkv_q, qks, vs)
+
+    # the (1, 1) scale operands are replicated by shard_batched (dim0 == 1)
+    return shard_batched(raw, qkv_q, qks, vs)
+
+
 # largest (Sq, Sk) fp32 score tile the fused kernel is allowed to hold in
 # VMEM (1024^2 fp32 = 4 MB, comfortably under the ~16 MB budget with the
 # q/k/v/o tiles and double buffering)

@@ -388,13 +388,150 @@ def quant_mlp_static(hq: jax.Array, in_scale, fc1_q: Dict, gelu_scale,
     scale+bias+GELU+quantize chain is elementwise on the fc1 accumulator, so
     XLA fuses it into the dot epilogue and only int8 reaches HBM between the
     two matmuls."""
+    gq = quant_fc1_gelu_static(hq, in_scale, fc1_q, gelu_scale, approx=approx)
+    return quant_matmul_pre(gq, gelu_scale, fc2_q, out_dtype)
+
+
+def quant_fc1_gelu_static(hq: jax.Array, in_scale, fc1_q: Dict, gelu_scale,
+                          *, approx: bool = False) -> jax.Array:
+    """First half of quant_mlp_static: fc1 -> GELU -> static int8 (all
+    elementwise work folds into the dot epilogue). Split out so the fc2 can
+    run through the epilogue-carried-LN kernel below."""
     y = _int8_dot(hq, fc1_q["w_q"])
     y = y * (in_scale * fc1_q["w_scale"].astype(jnp.float32))
     if "b" in fc1_q:
         y = y + fc1_q["b"].astype(jnp.float32)
     g = jax.nn.gelu(y, approximate=approx)
-    return quant_matmul_pre(quantize_static(g, gelu_scale), gelu_scale,
-                            fc2_q, out_dtype)
+    return quantize_static(g, gelu_scale)
+
+
+# ---------------------------------------------------------------------------
+# Epilogue-carried LayerNorm (round 3)
+#
+# In the static-scale block, the two LayerNorms are the only remaining
+# standalone HBM passes (~6 ms of the 142 ms 64-frame encode, in-situ
+# ablation in DESIGN.md): XLA computes LN stats as a separate reduction
+# read over the residual stream it just wrote. But every LN here directly
+# follows a residual add whose delta comes from an int8 matmul (proj ->
+# norm2, fc2 -> next block's norm1) — and at the matmul kernel's k-exit the
+# COMPLETE output row sits in VMEM. So the whole chain
+#   s8 dot -> dequant scales -> +bias -> +residual -> LN -> static int8
+# is one kernel with two outputs (the new residual stream in bf16, the
+# normalized int8 for the next matmul); the LN stats never re-read HBM.
+# ---------------------------------------------------------------------------
+
+def _qmm_res_ln_kernel(hq_ref, hs_ref, wq_ref, ws_ref, b_ref, x_ref, g_ref,
+                       lb_ref, os_ref, xo_ref, yq_ref, acc_ref, *,
+                       n_k: int, eps: float):
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        hq_ref[0], wq_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        y = acc_ref[:].astype(jnp.float32) * hs_ref[0] * ws_ref[0]
+        y = y + b_ref[0]
+        xn = x_ref[0].astype(jnp.float32) + y
+        xo_ref[0] = xn.astype(xo_ref.dtype)
+        mean = jnp.mean(xn, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xn - mean), axis=-1, keepdims=True)
+        z = (xn - mean) * jax.lax.rsqrt(var + eps)
+        z = z * g_ref[0] + lb_ref[0]
+        yq_ref[0] = jnp.clip(jnp.round(z * os_ref[0, 0]), -127, 127
+                             ).astype(jnp.int8)
+
+
+def quant_matmul_res_ln_static(hq: jax.Array, hs, params_q: Dict,
+                               x_prev: jax.Array, ln_params: Dict, out_scale,
+                               eps: float = 1e-6, *, interpret: bool = False
+                               ) -> Optional[Tuple[jax.Array, jax.Array]]:
+    """Fused s8-matmul + residual + LayerNorm + static-int8 epilogue.
+
+    hq: (B, S, K) int8 pre-quantized activations; hs: their scale — per-row
+    (B, S, 1) fp32 or a scalar (static). params_q: int8 linear params
+    ({'w_q', 'w_scale', 'b'?}). x_prev: (B, S, N) residual stream.
+    Returns (x_new bf16 (B,S,N), yq int8 (B,S,N)) where
+    x_new = x_prev + linear(hq*hs) and yq = static-quantized
+    LayerNorm(x_new), or None when shapes don't tile (caller unfuses).
+    """
+    from stllm_tpu.ops.spmd import kernel_shard_count
+
+    b, s, k = hq.shape
+    n = params_q["w_q"].shape[1]
+    bk = _pick_tile(k, 2048)
+    if (bk == 0 or n % 128 != 0 or s * n * 4 > 4 * 1024 * 1024
+            or kernel_shard_count() != 1):
+        return None
+    if jax.default_backend() == "cpu":
+        interpret = True
+    n_k = k // bk
+    if jnp.ndim(hs) == 0 or (getattr(hs, "size", 1) == 1):
+        hs3 = jnp.full((b, s, 1), hs, jnp.float32)
+    else:
+        hs3 = hs.astype(jnp.float32)
+    bias = params_q.get("b")
+    bias = (jnp.zeros((n,), jnp.float32) if bias is None
+            else bias.astype(jnp.float32))
+    inv_os = (1.0 / jnp.asarray(out_scale, jnp.float32)).reshape(1, 1)
+    kern = functools.partial(_qmm_res_ln_kernel, n_k=n_k, eps=eps)
+    row = pl.BlockSpec((1, n), lambda i, ki: (0, 0))
+    x_new, yq = pl.pallas_call(
+        kern,
+        grid=(b, n_k),
+        in_specs=[
+            pl.BlockSpec((1, s, bk), lambda i, ki: (i, 0, ki)),
+            pl.BlockSpec((1, s, 1), lambda i, ki: (i, 0, 0)),
+            pl.BlockSpec((bk, n), lambda i, ki: (ki, 0)),
+            row, row,
+            pl.BlockSpec((1, s, n), lambda i, ki: (i, 0, 0)),
+            row, row,
+            pl.BlockSpec((1, 1), lambda i, ki: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, s, n), lambda i, ki: (i, 0, 0)),
+            pl.BlockSpec((1, s, n), lambda i, ki: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, n), x_prev.dtype),
+            jax.ShapeDtypeStruct((b, s, n), jnp.int8),
+        ],
+        scratch_shapes=[pltpu.VMEM((s, n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(hq, hs3, params_q["w_q"],
+      params_q["w_scale"].reshape(1, n).astype(jnp.float32), bias.reshape(1, n),
+      x_prev, ln_params["scale"].reshape(1, n).astype(jnp.float32),
+      ln_params["bias"].reshape(1, n).astype(jnp.float32), inv_os)
+    return x_new, yq
+
+
+def quant_matmul_res_ln_static_reference(hq, hs, params_q, x_prev, ln_params,
+                                         out_scale, eps: float = 1e-6):
+    """XLA ground truth with the kernel's exact math (fp32 residual add,
+    stats over the fp32 sum)."""
+    y = _int8_dot(hq, params_q["w_q"])
+    hs3 = jnp.asarray(hs, jnp.float32)
+    if hs3.ndim == 0:
+        hs3 = hs3.reshape(1, 1, 1)
+    y = y * hs3 * params_q["w_scale"].astype(jnp.float32)
+    if "b" in params_q:
+        y = y + params_q["b"].astype(jnp.float32)
+    xn = x_prev.astype(jnp.float32) + y
+    mean = jnp.mean(xn, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xn - mean), axis=-1, keepdims=True)
+    z = (xn - mean) * jax.lax.rsqrt(var + eps)
+    z = (z * ln_params["scale"].astype(jnp.float32)
+         + ln_params["bias"].astype(jnp.float32))
+    yq = jnp.clip(jnp.round(z / jnp.asarray(out_scale, jnp.float32)),
+                  -127, 127).astype(jnp.int8)
+    return xn.astype(x_prev.dtype), yq
 
 
 # ---------------------------------------------------------------------------

@@ -81,7 +81,7 @@ def test_fully_static_btadapter_drift(params):
     assert set(ps["btadapter"]["temp"][0]["act_scales"]) == {
         "qkv", "proj", "temporal_fc"}
     assert set(ps["btadapter"]["spatial"][0]["act_scales"]) == {
-        "qkv", "proj", "fc1", "fc2"}
+        "qkv", "proj", "fc1", "fc2", "attn"}
     sout = btadapter_forward(ps, _frames(), CFG, num_frames=T)
     rel = float(jnp.abs(sout - dense).mean() / jnp.abs(dense).mean())
     assert rel < 0.04, rel

@@ -428,6 +428,61 @@ class TestQuantMatmul:
         np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused),
                                    atol=1e-3, rtol=1e-3)
 
+    def test_res_ln_static_kernel_matches_reference(self):
+        """Epilogue-carried LN kernel (s8 dot + residual + LN + static int8,
+        round 3) == XLA reference math, for per-row and scalar input
+        scales."""
+        from stllm_tpu.ops.quant import (
+            quant_matmul_res_ln_static, quant_matmul_res_ln_static_reference)
+
+        rng = np.random.RandomState(50)
+        b, s, k, n = 2, 17, 384, 256
+        hq = jnp.asarray(rng.randint(-127, 128, (b, s, k)), jnp.int8)
+        wq = jnp.asarray(rng.randint(-127, 128, (k, n)), jnp.int8)
+        params = {"w_q": wq,
+                  "w_scale": jnp.asarray(rng.rand(n) * 0.002, jnp.float32),
+                  "b": jnp.asarray(rng.randn(n) * 0.02, jnp.float32)}
+        x = jnp.asarray(rng.randn(b, s, n), jnp.bfloat16)
+        ln = {"scale": jnp.asarray(rng.randn(n), jnp.float32),
+              "bias": jnp.asarray(rng.randn(n) * 0.1, jnp.float32)}
+        for hs in (jnp.asarray(rng.rand(b, s, 1) * 0.01 + 1e-3, jnp.float32),
+                   jnp.float32(0.004)):
+            got = quant_matmul_res_ln_static(hq, hs, params, x, ln, 0.05)
+            assert got is not None
+            want = quant_matmul_res_ln_static_reference(
+                hq, hs, params, x, ln, 0.05)
+            np.testing.assert_allclose(
+                np.asarray(got[0], np.float32), np.asarray(want[0], np.float32),
+                atol=2e-2, rtol=2e-2)
+            # int8 codes: at most 1 step apart (rounding boundary)
+            assert int(np.abs(np.asarray(got[1], np.int32)
+                              - np.asarray(want[1], np.int32)).max()) <= 1
+
+    def test_fused_ln_vit_matches_unfused_static(self):
+        """The fused-LN static block pipeline == the per-block static path
+        within quantization rounding."""
+        from stllm_tpu.models import vit as vit_mod
+        from stllm_tpu.models.vit import (
+            ViTConfig, calibrate_vit_scales, init_vit, quantize_vit_params,
+            vit_forward)
+
+        cfg = ViTConfig(image_size=56, patch_size=14, width=256, depth=3,
+                        heads=4, mlp_hidden=512, dtype=jnp.float32)
+        params = init_vit(jax.random.PRNGKey(51), cfg)
+        imgs = jax.random.normal(jax.random.PRNGKey(52), (2, 56, 56, 3))
+        ps = calibrate_vit_scales(quantize_vit_params(params), imgs, cfg)
+        old = vit_mod.FUSED_LN
+        try:
+            vit_mod.FUSED_LN = "both"
+            fused = vit_forward(ps, imgs, cfg)
+            vit_mod.FUSED_LN = False
+            unfused = vit_forward(ps, imgs, cfg)
+        finally:
+            vit_mod.FUSED_LN = old
+        rel = float(jnp.abs(fused - unfused).mean()
+                    / (jnp.abs(unfused).mean() + 1e-9))
+        assert rel < 0.01, rel
+
     def test_calibrated_static_vit_drift(self):
         """calibrate_vit_scales attaches act_scales and the static forward
         stays close to both the dynamic-int8 and dense outputs — including
@@ -580,3 +635,57 @@ class TestPackedQKVAttention:
         qkv = self._qkv_packed(jax.random.PRNGKey(3), 1, 1100, 2, 8)
         out = fused_qkv_attention(qkv, 2, 8)
         assert out.shape == (1, 1100, 16)
+
+    def test_static_s8_kernel_matches_reference(self):
+        """Static-int8-qkv kernel (round 3): both dot variants == the XLA
+        reference with the kernel's exact math."""
+        from stllm_tpu.ops.attention import (
+            _packed_s8_reference, fused_qkv_attention_quant_static)
+
+        rng = np.random.RandomState(60)
+        b, s, h, d = 2, 33, 4, 24
+        qkv_q = jnp.asarray(rng.randint(-127, 128, (b, s, 3 * h * d)),
+                            jnp.int8)
+        sq, sk, sv = 0.01, 0.012, 0.008
+        wq, wsc = _packed_s8_reference(qkv_q, sq, sk, sv, h, d, d ** -0.5)
+        want = np.asarray(wq, np.float32) * np.asarray(wsc)
+        for int8_dot in (True, False):
+            got = fused_qkv_attention_quant_static(
+                qkv_q, sq, sk, sv, h, d, int8_dot=int8_dot, interpret=True)
+            assert got is not None
+            deq = np.asarray(got[0], np.float32) * np.asarray(got[1])
+            np.testing.assert_allclose(deq, want, atol=1e-4, rtol=1e-4)
+
+    def test_static_s8_misfit_declines(self):
+        from stllm_tpu.ops.attention import fused_qkv_attention_quant_static
+
+        qkv_q = jnp.zeros((1, 1100, 48), jnp.int8)  # seq >= 1024
+        assert fused_qkv_attention_quant_static(
+            qkv_q, 0.01, 0.01, 0.01, 2, 8) is None
+
+    def test_static_attn_vit_close_to_dynamic_attn(self):
+        """ViT static path with int8 qkv attention (act_scales['attn']) stays
+        close to the same path with bf16-qkv attention (scales stripped)."""
+        from stllm_tpu.models import vit as vit_mod
+        from stllm_tpu.models.vit import (
+            ViTConfig, calibrate_vit_scales, init_vit, quantize_vit_params,
+            vit_forward)
+
+        cfg = ViTConfig(image_size=56, patch_size=14, width=256, depth=2,
+                        heads=4, mlp_hidden=512, dtype=jnp.float32)
+        params = init_vit(jax.random.PRNGKey(61), cfg)
+        imgs = jax.random.normal(jax.random.PRNGKey(62), (2, 56, 56, 3))
+        ps = calibrate_vit_scales(quantize_vit_params(params), imgs, cfg)
+        assert all(b["act_scales"]["attn"].shape == (3,)
+                   for b in ps["blocks"])
+        old = vit_mod.INT8_QKT
+        try:
+            vit_mod.INT8_QKT = "1"
+            with_s8 = vit_forward(ps, imgs, cfg)
+            vit_mod.INT8_QKT = "0"
+            without = vit_forward(ps, imgs, cfg)
+        finally:
+            vit_mod.INT8_QKT = old
+        rel = float(jnp.abs(with_s8 - without).mean()
+                    / (jnp.abs(without).mean() + 1e-9))
+        assert rel < 0.02, rel
