@@ -10,11 +10,13 @@ Ladder (measured, v5e-1):
   bf16 249.5 fr/s -> int8 static trunk + dynamic branch 384.7 (round 2)
   -> fully static (round 3, calibrate_btadapter_scales: branch spatial
      blocks take the packed-qkv kernel + static LN/GELU fusions, temporal
-     layers static-scale matmuls) 392.3 fr/s.
+     layers static-scale matmuls) 392.3 fr/s
+  -> static-int8 qkv attention in trunk + spatial branch (round 3,
+     act_scales["attn"] + fused_qkv_attention_quant_static) 398.5 fr/s.
 
 Physics: the branch adds ~11% matmul FLOPs on top of the trunk (3 spatial
 blocks at full block cost + 3 temporal layers), so the FLOP-proportional
-bound vs the 427.5 plain-ViT headline is ~386 fr/s — the fully-static
+bound vs the 432.6 plain-ViT headline is ~390 fr/s — the fully-static
 branch runs AT trunk efficiency; closing further would require changing the
 reference's model math.
 
