@@ -63,7 +63,10 @@ LABEL = {"bf16": "bf16 dense", "int8": "int8 W8A8",
 
 
 def main():
-    variants = sys.argv[1:] or ["int8", "int4"]
+    # default to the two production paths; "int4" (group=128 scales) takes
+    # the hoisted-XLA dequant fallback (the Pallas kernel folds scales into
+    # its epilogue, which per-group K-varying scales cannot do)
+    variants = sys.argv[1:] or ["int8", "int4pc"]
     results = {}
     for v in variants:
         # fresh init per variant: in-place free_dense conversion consumes

@@ -247,7 +247,17 @@ def _generate_greedy_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
                               chunk: int = 16) -> List[List[int]]:
     """Greedy loop: tokens are produced ``chunk`` at a time in one device
     call; stop-sequence checks run on host between chunks and truncate any
-    over-generation (per-row semantics identical to the step-wise loop)."""
+    over-generation (per-row semantics identical to the step-wise loop).
+
+    When no early stop is possible (eos disabled and no stop sequences),
+    the between-chunk host checks can't change the outcome, so the whole
+    budget runs as ONE device call — each blocking host round-trip costs
+    ~30 ms through the axon tunnel (~2 ms/token at chunk=16 on a 64-token
+    run, script/profile_decode.py)."""
+    can_stop = bool(gen.stop_sequences) or (
+        gen.eos_token_id is not None and gen.eos_token_id >= 0)
+    if not can_stop:
+        chunk = gen.max_new_tokens
     cur = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     generated: List[List[int]] = [[] for _ in range(b)]
     done = [False] * b

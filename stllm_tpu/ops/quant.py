@@ -554,6 +554,12 @@ def quant_matmul_res_ln_static_reference(hq, hs, params_q, x_prev, ln_params,
 #     dequantized weight (cannot fold into the epilogue).
 # ---------------------------------------------------------------------------
 
+def _w4_padded_k2(k2: int, n: int) -> int:
+    """Half-K the Pallas kernel wants: k2 itself when it tiles, else the
+    next 512-multiple (7B down matmul: 5504 -> 5632)."""
+    return k2 if _w4_tiles(k2, n) else -(-k2 // 512) * 512
+
+
 def quantize_weights_int4(w: jax.Array, group: Optional[int] = None
                           ) -> Tuple[jax.Array, jax.Array]:
     """w (K, N) -> (packed int8 (K/2, N), scales fp32 (N,) or (K//group, N)).
@@ -587,9 +593,17 @@ def _unpack_int4(packed: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def w4_matmul(x: jax.Array, packed: jax.Array, scale: jax.Array) -> jax.Array:
-    """x (..., K) @ int4-packed (K/2, N) -> (..., N) in x.dtype."""
+    """x (..., K) @ int4-packed (K/2, N) -> (..., N) in x.dtype. Accepts
+    packed arrays K-pre-padded for the Pallas kernel (trailing zero rows):
+    the true half-K comes from x."""
     k2, n = packed.shape
     top, bottom = _unpack_int4(packed)
+    k2t = x.shape[-1] // 2
+    if k2t != k2:  # pre-padded storage: padded rows are zero codes
+        top, bottom = top[:k2t], bottom[:k2t]
+        k2 = k2t
+        if scale.ndim == 2:
+            raise ValueError("per-group scales cannot be K-padded")
     xt, xb = x[..., :k2], x[..., k2:]
     dims = (((x.ndim - 1,), (0,)), ((), ()))
     if scale.ndim == 1:  # per-channel: codes feed the dot, scale in epilogue
@@ -675,14 +689,17 @@ def w4_matmul_pallas(x: jax.Array, packed: jax.Array, scale: jax.Array
     k2, n = packed.shape
     if scale.ndim != 1:
         return None
-    # K-pad when k2 has no aligned tiling (7B down matmul: k2=5504 ->
-    # 5632, which tiles as (1408, 512)). Zero codes/zero activations
-    # contribute nothing; the padded copy of `packed` is loop-invariant in
-    # the decode scan, so XLA hoists it (one-time copy, not a per-token
-    # cost). Moving the down matmul off the XLA fallback (which hoists the
-    # full (K, N) bf16 dequant, i.e. bf16-sized weight reads) onto the
-    # packed in-VMEM kernel measured 11.99 -> 11.58 ms/token at 7B.
-    k2p = k2 if _w4_tiles(k2, n) else -(-k2 // 512) * 512
+    # K-pad when the TRUE half-K (x.shape[-1]//2) has no aligned tiling
+    # (7B down matmul: k2=5504 -> 5632, tiles as (1408, 512)). Zero
+    # codes/zero activations contribute nothing. `quantize_weights_int4`
+    # pre-pads `packed` at CONVERSION time — profiling the decode loop
+    # (script/profile_decode.py) showed XLA does NOT hoist a loop-invariant
+    # jnp.pad of the packed weights out of the scan: it re-padded 23 MB per
+    # layer per token (~0.6 ms/token at 7B). Only the tiny per-row x pad
+    # remains a runtime op; a legacy runtime weight pad is kept for packed
+    # arrays stored unpadded.
+    k2t = x.shape[-1] // 2
+    k2p = _w4_padded_k2(k2t, n)
     tiles = _w4_tiles(k2p, n)
     if tiles is None:
         return None
@@ -696,11 +713,15 @@ def w4_matmul_pallas(x: jax.Array, packed: jax.Array, scale: jax.Array
     x2 = x.reshape(m, x.shape[-1]).astype(jnp.bfloat16)
     if mp != m:
         x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
-    if k2p != k2:
-        zpad = jnp.zeros((mp, k2p - k2), jnp.bfloat16)
-        x2 = jnp.concatenate([x2[:, :k2], zpad, x2[:, k2:], zpad], axis=1)
-        packed = jnp.pad(packed, ((0, k2p - k2), (0, 0)))
-        k2 = k2p
+    if k2 == k2t != k2p:  # legacy unpadded storage: pad weights at runtime
+        packed = jnp.pad(packed, ((0, k2p - k2t), (0, 0)))
+    elif k2 != k2p:
+        return None  # stored padding disagrees with the tiling rule
+    if k2p != k2t:
+        zpad = jnp.zeros((mp, k2p - k2t), jnp.bfloat16)
+        x2 = jnp.concatenate(
+            [x2[:, :k2t], zpad, x2[:, k2t:], zpad], axis=1)
+    k2 = k2p
     n_k = k2 // bk
     kern = functools.partial(_w4_pallas_kernel, k2=k2, bk=bk, n_k=n_k)
     out = pl.pallas_call(
@@ -723,8 +744,17 @@ def w4_matmul_pallas(x: jax.Array, packed: jax.Array, scale: jax.Array
 
 def quantize_linear_params_int4(params: Dict, group: Optional[int] = None,
                                 free_dense: bool = False) -> Dict:
-    """{'w': (K,N), 'b'?} -> {'w4', 'w4_scale', 'b'?} (see w4_linear)."""
+    """{'w': (K,N), 'b'?} -> {'w4', 'w4_scale', 'b'?} (see w4_linear).
+    Per-channel packed weights are K-pre-padded to the Pallas kernel's
+    tiling here, at conversion time — XLA does not hoist a loop-invariant
+    runtime pad out of the decode scan (measured ~0.6 ms/token at 7B,
+    script/profile_decode.py)."""
     packed, scale = quantize_weights_int4(params["w"], group)
+    if group is None:
+        k2, n = packed.shape
+        k2p = _w4_padded_k2(k2, n)
+        if k2p != k2:
+            packed = jnp.pad(packed, ((0, k2p - k2), (0, 0)))
     packed = jax.block_until_ready(packed)
     out = {"w4": packed, "w4_scale": scale}
     if "b" in params and params["b"] is not None:
