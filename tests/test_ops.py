@@ -256,6 +256,65 @@ class TestQuantMatmul:
                                        np.asarray(want, np.float32),
                                        atol=2e-2, rtol=2e-2)
 
+    def test_int4_prepadded_storage(self):
+        """Round 3b: per-channel packed weights are K-pre-padded at
+        CONVERSION time (profiling showed XLA does not hoist a runtime pad
+        of the packed weights out of the decode scan — ~0.6 ms/token at
+        7B). Both consumers accept padded storage, and legacy unpadded
+        arrays still work via the runtime pad."""
+        from stllm_tpu.ops.quant import (
+            _w4_padded_k2, _w4_tiles, quantize_linear_params_int4,
+            quantize_weights_int4, w4_linear, w4_matmul, w4_matmul_pallas)
+
+        kdim, n = 320, 384                      # k2=160 has no tiling
+        assert _w4_tiles(kdim // 2, n) is None
+        w = jax.random.normal(jax.random.PRNGKey(50), (kdim, n),
+                              jnp.float32) * 0.05
+        x = jax.random.normal(jax.random.PRNGKey(51), (3, kdim), jnp.float32)
+
+        p = quantize_linear_params_int4({"w": w}, group=None)
+        k2p = _w4_padded_k2(kdim // 2, n)
+        assert p["w4"].shape == (k2p, n) and k2p > kdim // 2
+
+        packed_raw, scale = quantize_weights_int4(w, group=None)
+        want = np.asarray(w4_matmul(x, packed_raw, scale), np.float32)
+        got_lin = np.asarray(w4_linear(p, x), np.float32)       # XLA on CPU
+        np.testing.assert_allclose(got_lin, want, atol=2e-2, rtol=2e-2)
+        got_pl = w4_matmul_pallas(x, p["w4"], p["w4_scale"])    # interpret
+        np.testing.assert_allclose(np.asarray(got_pl, np.float32), want,
+                                   atol=2e-2, rtol=2e-2)
+        # legacy unpadded storage still pads at runtime inside the kernel
+        got_legacy = w4_matmul_pallas(x, packed_raw, scale)
+        np.testing.assert_allclose(np.asarray(got_legacy, np.float32), want,
+                                   atol=2e-2, rtol=2e-2)
+        # per-group conversion is never padded (scales can't fold)
+        pg = quantize_linear_params_int4({"w": w}, group=32)
+        assert pg["w4"].shape == (kdim // 2, n)
+
+    def test_greedy_single_call_matches_chunked(self):
+        """Round 3b: with eos disabled and no stop sequences the greedy
+        loop runs one device call for the whole budget; token-for-token
+        identical to the chunked loop."""
+        from stllm_tpu.models.generation import (
+            GenerationConfig, _generate_greedy_ondevice, generate)
+        from stllm_tpu.models.llama import LlamaConfig, init_llama
+
+        cfg = LlamaConfig(vocab_size=64, hidden=32, num_layers=2, heads=2,
+                          intermediate=64, max_positions=128,
+                          dtype=jnp.float32)
+        params = init_llama(jax.random.PRNGKey(60), cfg)
+        emb = jax.random.normal(jax.random.PRNGKey(61), (2, 5, 32)) * 0.1
+        gen_free = GenerationConfig(max_new_tokens=40, eos_token_id=-1,
+                                    stop_sequences=(), pad_to_multiple=8)
+        single = generate(params, emb, llama_cfg=cfg, gen=gen_free)
+        # force the old chunked path by keeping a (harmless) stop check
+        gen_stop = GenerationConfig(max_new_tokens=40, eos_token_id=63,
+                                    stop_sequences=(), pad_to_multiple=8)
+        chunked = generate(params, emb, llama_cfg=cfg, gen=gen_stop)
+        for s, c in zip(single, chunked):
+            assert 63 not in c, "pick weights where eos never fires"
+            assert s == c
+
     def test_int4_llama_generates(self):
         """quantize_llama_params_int4 runs the full generate loop and stays
         near dense prefill logits."""
