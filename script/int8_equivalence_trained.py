@@ -126,33 +126,52 @@ def main():
     print(f"bf16 answers matching training targets: {trained_ok}/{N_VIDEOS}",
           flush=True)
 
-    # serving-stack conversion (in place)
-    from stllm_tpu.models.llama import quantize_llama_params
+    # serving-stack conversion (in place). The W4A16 copy is taken BEFORE
+    # the in-place W8A8 conversion consumes the dense tree (this mid-size
+    # model leaves headroom for dense + both quantized LLaMAs).
+    from stllm_tpu.models.llama import (
+        quantize_llama_params, quantize_llama_params_int4)
     from stllm_tpu.models.vit import calibrate_vit_scales, quantize_vit_params
 
     cfg_q = dataclasses.replace(
         CFG, llama=dataclasses.replace(CFG.llama, kv_int8=True))
+    llama_w4 = quantize_llama_params_int4(params["llama"], group=None)
     params["vit"] = quantize_vit_params(params["vit"], free_dense=True)
     calib = jnp.concatenate([s["batch"]["frames"][0] for s in data[:2]], 0)
     params["vit"] = calibrate_vit_scales(params["vit"], calib, CFG.vit)
     params["llama"] = quantize_llama_params(params["llama"], free_dense=True)
 
     int8_answers = [greedy_answer(params, s, cfg_q) for s in data]
+    params["llama"] = llama_w4
+    w4_answers = [greedy_answer(params, s, cfg_q) for s in data]
 
-    first = sum(a[0] == b[0] for a, b in zip(bf16_answers, int8_answers))
-    exact = sum(a == b for a, b in zip(bf16_answers, int8_answers))
+    def grade(quant_answers):
+        first = sum(a[0] == b[0] for a, b in zip(bf16_answers, quant_answers))
+        exact = sum(a == b for a, b in zip(bf16_answers, quant_answers))
+        return first / N_VIDEOS, exact / N_VIDEOS
+
+    first8, exact8 = grade(int8_answers)
+    first4, exact4 = grade(w4_answers)
     result = {
         "n": N_VIDEOS,
         "train_steps": steps,
         "bf16_answers_match_train_targets": trained_ok / N_VIDEOS,
-        "first_token_match": first / N_VIDEOS,
-        "exact_16_match": exact / N_VIDEOS,
+        "first_token_match": first8,
+        "exact_16_match": exact8,
         "model": "4096-width 4-layer LLaMA + 1408-width 8-block ViT "
                  "(full matmul shapes, reduced depth), trained to emit "
                  "fixed 16-token answers",
         "int8_stack": "W8A8 static-scale ViT + W8A8 LLaMA + int8 KV cache",
     }
+    result_w4 = {
+        "n": N_VIDEOS,
+        "first_token_match": first4,
+        "exact_16_match": exact4,
+        "w4_stack": "W8A8 static-scale ViT + W4A16 per-channel LLaMA "
+                    "(production Pallas decode kernel) + int8 KV cache",
+    }
     print(json.dumps(result))
+    print(json.dumps(result_w4))
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "EQUIV_INT8.json")
@@ -162,6 +181,7 @@ def main():
     else:
         doc = {}
     doc["trained_model"] = result
+    doc["trained_model_w4a16"] = result_w4
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
 
