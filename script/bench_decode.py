@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,22 +31,23 @@ from stllm_tpu.models.llama import (
 
 PREFIX = 512
 NEW = 64
+KV8 = dataclasses.replace(VICUNA_7B, kv_int8=True)
 
 
-def measure(params, label, iters=3):
+def measure(params, label, iters=3, cfg=VICUNA_7B):
     rng = np.random.default_rng(0)
-    emb = jnp.asarray(rng.normal(size=(1, PREFIX, VICUNA_7B.hidden)) * 0.02,
+    emb = jnp.asarray(rng.normal(size=(1, PREFIX, cfg.hidden)) * 0.02,
                       jnp.bfloat16)
     gen = GenerationConfig(max_new_tokens=NEW, stop_sequences=(),
                            eos_token_id=-1, pad_to_multiple=64)
-    out = generate(params, emb, llama_cfg=VICUNA_7B, gen=gen)  # compile+warm
+    out = generate(params, emb, llama_cfg=cfg, gen=gen)  # compile+warm
     assert len(out[0]) == NEW
     t0 = time.perf_counter()
     for _ in range(iters):
-        generate(params, emb, llama_cfg=VICUNA_7B, gen=gen)
+        generate(params, emb, llama_cfg=cfg, gen=gen)
     dt = (time.perf_counter() - t0) / iters
-    ms_tok = dt * 1e3 / NEW  # includes prefill (~1 call) + 4 chunk calls
-    print(f"{label:28s} {ms_tok:7.2f} ms/token (prefill+decode avg over "
+    ms_tok = dt * 1e3 / NEW  # includes prefill (~1 call) + decode calls
+    print(f"{label:34s} {ms_tok:7.2f} ms/token (prefill+decode avg over "
           f"{NEW} new tokens)", flush=True)
     return ms_tok
 
@@ -57,9 +60,23 @@ CONVERT = {
                                                  free_dense=True),
     "int4pc": lambda p: quantize_llama_params_int4(p, group=None,
                                                    free_dense=True),
+    "int4h8": lambda p: quantize_llama_params_int4(p, group=None,
+                                                   free_dense=True,
+                                                   quant_head=True),
+    "int4kv8": lambda p: quantize_llama_params_int4(p, group=None,
+                                                    free_dense=True,
+                                                    quant_head=True),
+    "int4f": lambda p: quantize_llama_params_int4(p, group=None,
+                                                  free_dense=True,
+                                                  quant_head=True,
+                                                  fuse=True),
 }
+CFG = {"int4kv8": KV8}
 LABEL = {"bf16": "bf16 dense", "int8": "int8 W8A8",
-         "int4": "int4 W4A16 (group=128)", "int4pc": "int4 W4A16 (per-chan)"}
+         "int4": "int4 W4A16 (group=128)", "int4pc": "int4 W4A16 (per-chan)",
+         "int4h8": "int4 W4A16 + int8 lm_head",
+         "int4kv8": "int4 W4A16 + int8 head + int8 KV",
+         "int4f": "int4 W4A16 fused qkv/gateup + int8 head"}
 
 
 def main():
@@ -73,7 +90,7 @@ def main():
         # the dense tree
         params = init_llama(jax.random.PRNGKey(0), VICUNA_7B)
         params = CONVERT[v](params)
-        results[v] = measure(params, LABEL[v])
+        results[v] = measure(params, LABEL[v], cfg=CFG.get(v, VICUNA_7B))
         del params
     print(results)
 

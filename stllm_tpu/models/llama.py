@@ -135,6 +135,23 @@ def init_llama(rng: jax.Array, cfg: LlamaConfig) -> Dict:
     return params
 
 
+def _qkv_proj(layer: Dict, h: jax.Array, b: int, s: int, cfg: LlamaConfig):
+    """q/k/v projections; a ``qkv`` key holds the three weights fused along
+    N (decode-bandwidth form — one weight-stream kernel call instead of
+    three). LoRA deltas apply to the split outputs either way."""
+    from stllm_tpu.models.lora import apply_lora
+
+    if "qkv" in layer:
+        q, k, v = jnp.split(linear(layer["qkv"], h), 3, axis=-1)
+    else:
+        q, k, v = (linear(layer["q"], h), linear(layer["k"], h),
+                   linear(layer["v"], h))
+    q = apply_lora(layer, "q", h, q).reshape(b, s, cfg.heads, cfg.head_dim)
+    k = apply_lora(layer, "k", h, k).reshape(b, s, cfg.heads, cfg.head_dim)
+    v = apply_lora(layer, "v", h, v).reshape(b, s, cfg.heads, cfg.head_dim)
+    return q, k, v
+
+
 def _layer(
     layer: Dict,
     x: jax.Array,
@@ -146,15 +163,9 @@ def _layer(
     cache_kv: Optional[Tuple[jax.Array, jax.Array]],
     cache_len: Optional[jax.Array],
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
-    from stllm_tpu.models.lora import apply_lora
-
     b, s, d = x.shape
     h = rms_norm(layer["input_norm"], x, cfg.rms_eps)
-    q = apply_lora(layer, "q", h, linear(layer["q"], h))
-    q = q.reshape(b, s, cfg.heads, cfg.head_dim)
-    k = linear(layer["k"], h).reshape(b, s, cfg.heads, cfg.head_dim)
-    v = apply_lora(layer, "v", h, linear(layer["v"], h))
-    v = v.reshape(b, s, cfg.heads, cfg.head_dim)
+    q, k, v = _qkv_proj(layer, h, b, s, cfg)
     q = apply_rope(q, cos, sin, positions)
     k = apply_rope(k, cos, sin, positions)
 
@@ -293,8 +304,6 @@ def llama_decode_prefix(
     result is bit-equivalent to attending over a physically-replicated cache.
     Returns (hidden (B, 1, d), updated gen cache).
     """
-    from stllm_tpu.models.lora import apply_lora
-
     x = inputs_embeds.astype(cfg.dtype)
     b, s, d = x.shape
     assert s == 1, "prefix decode is single-token"
@@ -311,11 +320,7 @@ def llama_decode_prefix(
     new_k, new_v, new_ks, new_vs = [], [], [], []
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(layer["input_norm"], x, cfg.rms_eps)
-        q = apply_lora(layer, "q", h, linear(layer["q"], h))
-        q = q.reshape(b, s, cfg.heads, cfg.head_dim)
-        k = linear(layer["k"], h).reshape(b, s, cfg.heads, cfg.head_dim)
-        v = apply_lora(layer, "v", h, linear(layer["v"], h))
-        v = v.reshape(b, s, cfg.heads, cfg.head_dim)
+        q, k, v = _qkv_proj(layer, h, b, s, cfg)
         q = apply_rope(q, cos, sin, positions)
         k = apply_rope(k, cos, sin, positions)
 
@@ -408,31 +413,74 @@ def quantize_llama_params(params: Dict, free_dense: bool = False,
 
 
 def quantize_llama_params_int4(params: Dict, group: Optional[int] = 128,
-                               free_dense: bool = False) -> Dict:
+                               free_dense: bool = False,
+                               quant_head: bool = False,
+                               fuse: bool = False) -> Dict:
     """W4A16 conversion of the decoder-layer matmuls (ops/quant.py int4
     section): int4 PACKED weight bytes with bf16 compute — decode is
     weight-bandwidth-bound, so halving the bytes halves the per-token
     weight-read floor again vs int8 (~8.5 -> ~4.3 ms on 7B). ``group``
     selects per-group scales along K (tighter, default 128); ``group=None``
     uses per-output-channel scales (scales fold into the dot epilogue).
-    Embeddings / lm_head / norms stay dense, as in the int8 conversion."""
-    from stllm_tpu.ops.quant import quantize_linear_params_int4
+    Embeddings / norms stay dense; ``quant_head=True`` additionally stores
+    the lm_head as weight-only int8 (``w_q16`` — halves the 262 MB/token
+    head read; logits stay fp32-accumulated, see ``lm_head``).
+
+    ``fuse=True`` packs q|k|v and gate|up each as ONE weight along N (the
+    ``qkv``/``gateup`` layer keys) — 4 weight-stream kernel calls per layer
+    instead of 7; measured 0.53 ms/token on the 7B matmul skeleton
+    (script/probe_decode_budget.py w4 vs w4fuse). Per-output-channel scales
+    make the fused math bit-identical to unfused. Layers carrying unmerged
+    LoRA adapters are left unfused (adapters address the split names;
+    merge_lora first for serving)."""
+    from stllm_tpu.ops.quant import (
+        quantize_linear_params, quantize_linear_params_int4)
 
     out = dict(params)
     out["layers"] = []
     for layer in params["layers"]:
         l = dict(layer)
-        for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        fusable = fuse and not any(k.endswith("_lora") for k in layer)
+        plain = ("q", "k", "v", "o", "gate", "up", "down")
+        if fusable:
+            for names, fused_name in ((("q", "k", "v"), "qkv"),
+                                      (("gate", "up"), "gateup")):
+                assert all(layer[n].get("b") is None or "b" not in layer[n]
+                           for n in names)
+                w = jnp.concatenate([layer[n]["w"] for n in names], axis=1)
+                l[fused_name] = quantize_linear_params_int4(
+                    {"w": w}, group=group, free_dense=True)
+                for n in names:
+                    if free_dense and isinstance(layer[n]["w"], jax.Array):
+                        layer[n]["w"].delete()
+                    del l[n]
+            plain = ("o", "down")
+        for name in plain:
             l[name] = quantize_linear_params_int4(
                 layer[name], group=group, free_dense=free_dense)
         out["layers"].append(l)
+    if quant_head:
+        h = quantize_linear_params(params["lm_head"], free_dense=free_dense)
+        out["lm_head"] = {"w_q16": h.pop("w_q"), "w_scale": h["w_scale"]}
     return out
 
 
 def lm_head(params: Dict, hidden: jax.Array) -> jax.Array:
     """Logits in fp32 (matmul in the param dtype with fp32 accumulation —
-    upcasting the operands would run an 8x-slower fp32 MXU matmul)."""
-    w = params["lm_head"]["w"]
+    upcasting the operands would run an 8x-slower fp32 MXU matmul).
+    Accepts the weight-only int8 form (``w_q16`` key, see quant_head in the
+    quantizers): per-token decode reads 262 MB of bf16 head weights
+    (~0.32 ms on v5e), halved by int8 storage; logits keep bf16-grade
+    accuracy (weights rounded, activations untouched)."""
+    head = params["lm_head"]
+    if "w_q16" in head:
+        # int8 codes upcast into the dot (convert-folded), logits kept fp32
+        y = jax.lax.dot_general(
+            hidden.astype(jnp.bfloat16), head["w_q16"].astype(jnp.bfloat16),
+            (((hidden.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return y * head["w_scale"].astype(jnp.float32)
+    w = head["w"]
     return jnp.dot(hidden.astype(w.dtype), w,
                    preferred_element_type=jnp.float32)
 

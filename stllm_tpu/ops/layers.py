@@ -65,7 +65,12 @@ def mlp(params, x: jax.Array, act=gelu) -> jax.Array:
 
 
 def swiglu_mlp(params, x: jax.Array) -> jax.Array:
-    """LLaMA MLP: down( silu(gate(x)) * up(x) )."""
+    """LLaMA MLP: down( silu(gate(x)) * up(x) ). A ``gateup`` key holds the
+    two projections fused along N (decode-bandwidth form: one weight-stream
+    kernel call instead of two, see llama.quantize_llama_params_int4)."""
+    if "gateup" in params:
+        g, u = jnp.split(linear(params["gateup"], x), 2, axis=-1)
+        return linear(params["down"], jax.nn.silu(g) * u)
     return linear(
         params["down"],
         jax.nn.silu(linear(params["gate"], x)) * linear(params["up"], x),

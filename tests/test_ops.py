@@ -315,6 +315,49 @@ class TestQuantMatmul:
             assert 63 not in c, "pick weights where eos never fires"
             assert s == c
 
+    def test_int4_fused_matches_unfused(self):
+        """fuse=True (qkv/gateup packed along N) is numerically identical
+        to the unfused conversion under per-channel scales, and generate
+        runs through the fused structure. LoRA-carrying layers stay
+        unfused."""
+        from stllm_tpu.models.generation import GenerationConfig, generate
+        from stllm_tpu.models.llama import (
+            LlamaConfig, init_llama, lm_head, prefill_with_cache,
+            quantize_llama_params_int4)
+
+        cfg = LlamaConfig(vocab_size=128, hidden=64, num_layers=2, heads=4,
+                          intermediate=172, max_positions=64,
+                          dtype=jnp.float32)
+        params = init_llama(jax.random.PRNGKey(70), cfg)
+        p_unf = quantize_llama_params_int4(params, group=None)
+        p_fus = quantize_llama_params_int4(params, group=None, fuse=True,
+                                           quant_head=True)
+        assert "qkv" in p_fus["layers"][0] and "q" not in p_fus["layers"][0]
+        assert "gateup" in p_fus["layers"][0]
+        assert "w_q16" in p_fus["lm_head"]
+        emb = jax.random.normal(jax.random.PRNGKey(71), (1, 8, 64)) * 0.1
+        mask = jnp.ones((1, 8), jnp.int32)
+        h_u, _ = prefill_with_cache(p_unf, emb, mask, 16, cfg)
+        h_f, _ = prefill_with_cache(p_fus, emb, mask, 16, cfg)
+        np.testing.assert_allclose(np.asarray(h_f, np.float32),
+                                   np.asarray(h_u, np.float32),
+                                   atol=1e-5, rtol=1e-5)
+        # int8 head logits track the dense-head logits closely
+        lu = np.asarray(lm_head(p_unf, h_u), np.float32)
+        lf = np.asarray(lm_head(p_fus, h_f), np.float32)
+        assert np.abs(lf - lu).mean() / (np.abs(lu).mean() + 1e-9) < 0.05
+        out = generate(p_fus, emb, llama_cfg=cfg,
+                       gen=GenerationConfig(max_new_tokens=6,
+                                            stop_sequences=(),
+                                            pad_to_multiple=8))
+        assert len(out[0]) == 6
+        # a LoRA-carrying layer is left unfused
+        from stllm_tpu.models.lora import add_lora
+        p_l = add_lora({"llama": init_llama(jax.random.PRNGKey(72), cfg)},
+                       jax.random.PRNGKey(73), 2)["llama"]
+        p_lf = quantize_llama_params_int4(p_l, group=None, fuse=True)
+        assert "qkv" not in p_lf["layers"][0] and "q" in p_lf["layers"][0]
+
     def test_int4_llama_generates(self):
         """quantize_llama_params_int4 runs the full generate loop and stays
         near dense prefill logits."""
