@@ -8,8 +8,11 @@ to ~2x one greedy stream for 5 simultaneous hypotheses. This script records
 the actual numbers: 512-token prompt (QA-bench scale), 32 new tokens, int8
 7B (see main()), random weights (latency is weight-value independent).
 
-Run: python script/bench_beam.py        (needs the real TPU chip)
+Run: python script/bench_beam.py [both|greedy|beam] [int8|int4]
 Prints one JSON line with greedy/beam ms-per-token and the ratio.
+(int4 = the fused W4A16 serving stack; beam shares each step's weight
+reads across all 5 hypotheses, so halving weight bytes cuts beam latency
+nearly as much as greedy's.)
 """
 
 import json
@@ -40,9 +43,16 @@ def main():
     # 16 GB chip (13.5 GB weights + ~2.4 GB program temps); int8 is the
     # serving stack QA-bench ships anyway, and the beam-vs-greedy RATIO is
     # what this script exists to record.
-    from stllm_tpu.models.llama import quantize_llama_params
+    from stllm_tpu.models.llama import (
+        quantize_llama_params, quantize_llama_params_int4)
 
-    params = quantize_llama_params(params, free_dense=True)
+    wmode = sys.argv[2] if len(sys.argv) > 2 else "int8"
+    if wmode == "int4":
+        params = quantize_llama_params_int4(params, group=None,
+                                            free_dense=True,
+                                            quant_head=True, fuse=True)
+    else:
+        params = quantize_llama_params(params, free_dense=True)
     rng = np.random.default_rng(0)
     embeds = jnp.asarray(rng.normal(size=(1, PROMPT, cfg.hidden)) * 0.02,
                          cfg.dtype)
@@ -77,7 +87,8 @@ def main():
         return float(np.percentile(times, 50))
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "both"
-    out = {"metric": "7B decode ms/token (int8 weights, 512-token prompt, 32 new, one chip)"}
+    out = {"metric": f"7B decode ms/token ({wmode} weights, 512-token "
+                     "prompt, 32 new, one chip)"}
     if mode in ("both", "greedy"):
         greedy_ms = time_fn(run_greedy)
         out["greedy_ms_per_token"] = round(greedy_ms / NEW, 2)

@@ -60,14 +60,16 @@ def run(tgt, dft, dft_cfg, k, label):
 def main():
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     tgt = init_llama(jax.random.PRNGKey(0), VICUNA_7B)
-    tgt = quantize_llama_params_int4(tgt, group=None, free_dense=True)
+    tgt = quantize_llama_params_int4(tgt, group=None, free_dense=True,
+                                     quant_head=True, fuse=True)
 
     # full acceptance: the draft IS the target (same tree — no extra HBM);
     # every round emits k+1 tokens for ~2x one model's traffic
     best_ms, best_stats = run(tgt, tgt, VICUNA_7B, k, "draft=target (accept=1.0)")
 
     dft = init_llama(jax.random.PRNGKey(1), DRAFT_CFG)
-    dft = quantize_llama_params_int4(dft, group=None, free_dense=True)
+    dft = quantize_llama_params_int4(dft, group=None, free_dense=True,
+                                     quant_head=True, fuse=True)
     worst_ms, worst_stats = run(tgt, dft, DRAFT_CFG, k,
                                 "random 2-layer draft (accept~0)")
 
@@ -89,7 +91,7 @@ def main():
         "round_cost_ms": round(t_round, 2),
         "projected_ms_per_token_at_acceptance": curve,
         "full_acceptance_ms_per_token_draft_eq_target": round(best_ms, 2),
-        "plain_greedy_baseline_ms": 9.28,
+        "plain_greedy_baseline_ms": 8.46,
     }
     print(json.dumps(result))
     with open(os.path.join(os.path.dirname(os.path.dirname(
