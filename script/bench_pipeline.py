@@ -131,6 +131,10 @@ def run_from_video(one_qa_frames, cfg, n_samples=16):
 
 def main():
     int8 = "--int8" in sys.argv  # opt-in W8A8 ViT + LLaMA + int8 KV cache
+    # --int4: W8A8 static ViT + fused W4A16 LLaMA + int8 head/KV — the
+    # fastest serving stack (decode is weight-bandwidth-bound; DESIGN.md)
+    int4 = "--int4" in sys.argv
+    int8 = int8 or int4
     from_video = "--from-video" in sys.argv
     cfg = STLLMConfig(vit=dataclasses.replace(EVA_VIT_G, gelu_approx=True))
     if int8:
@@ -138,12 +142,19 @@ def main():
             cfg, llama=dataclasses.replace(cfg.llama, kv_int8=True))
     params = init_stllm(jax.random.PRNGKey(0), cfg, init_llama_params=True)
     if int8:
-        from stllm_tpu.models.llama import quantize_llama_params
+        from stllm_tpu.models.llama import (
+            quantize_llama_params, quantize_llama_params_int4)
         from stllm_tpu.models.vit import quantize_vit_params
 
         # free_dense: dense+quantized 7B both resident would OOM a 16GB chip
         params["vit"] = quantize_vit_params(params["vit"], free_dense=True)
-        params["llama"] = quantize_llama_params(params["llama"], free_dense=True)
+        if int4:
+            params["llama"] = quantize_llama_params_int4(
+                params["llama"], group=None, free_dense=True,
+                quant_head=True, fuse=True)
+        else:
+            params["llama"] = quantize_llama_params(params["llama"],
+                                                    free_dense=True)
 
     rng = np.random.default_rng(0)
     if int8:
@@ -189,7 +200,8 @@ def main():
     line = {
         "metric": "p50 e2e latency per MVBench QA (16-frame encode + 608-token "
                   "prefill + 16-token greedy, one chip)"
-                  + (" [int8 W8A8]" if int8 else ""),
+                  + (" [int4 W4A16 LLM + int8 ViT]" if int4
+                     else " [int8 W8A8]" if int8 else ""),
         "value": round(p50, 1),
         "unit": "ms",
         "all_ms": [round(t, 1) for t in times],

@@ -52,6 +52,35 @@ def unflatten_like(template, flat: Dict[str, Any], strict: bool = True):
     return out
 
 
+def save_serving_params(directory: str, params) -> None:
+    """Persist an inference tree (incl. quantized serving forms — int4
+    packed codes, int8 weights, scales are ordinary array leaves) so the
+    quantize+calibrate cost is paid once, not at every server start. The
+    reference has no counterpart (it re-loads fp16 HF weights each run,
+    stllm/models/st_llm.py:145-170)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(path, "serving"), flatten_tree(params))
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def load_serving_params(directory: str, template):
+    """Restore a tree saved by ``save_serving_params`` onto ``template``'s
+    structure (template supplies shapes/dtypes/shardings — e.g. a
+    jax.eval_shape of the quantized init)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    ckptr = ocp.StandardCheckpointer()
+    flat = ckptr.restore(os.path.join(path, "serving"),
+                         flatten_tree(template))
+    ckptr.close()
+    return unflatten_like(template, flat)
+
+
 class CheckpointManager:
     """Step-indexed checkpoints under output_dir/checkpoint_<step>/."""
 

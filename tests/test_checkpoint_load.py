@@ -99,3 +99,35 @@ def test_stllm_release_checkpoint_loading(tmp_path):
     frames = jnp.asarray(rng.integers(0, 256, (4, 28, 28, 3)), jnp.uint8)
     out = encode_video_for_inference(model.params, frames, model.cfg)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_serving_checkpoint_roundtrip(tmp_path):
+    """Quantized serving trees (fused W4A16 + int8 head) save/load through
+    orbax and generate identically — quantize once, serve many."""
+    import jax
+    import jax.numpy as jnp
+
+    from stllm_tpu.models.generation import GenerationConfig, generate
+    from stllm_tpu.models.llama import (
+        LlamaConfig, init_llama, quantize_llama_params_int4)
+    from stllm_tpu.train.checkpoint import (
+        load_serving_params, save_serving_params)
+
+    cfg = LlamaConfig(vocab_size=96, hidden=64, num_layers=2, heads=4,
+                      intermediate=172, max_positions=64, dtype=jnp.float32)
+    params = quantize_llama_params_int4(
+        init_llama(jax.random.PRNGKey(5), cfg), group=None, fuse=True,
+        quant_head=True)
+    save_serving_params(str(tmp_path / "ckpt"), params)
+
+    # abstract template: shapes/dtypes only, as a fresh server would build
+    template = jax.eval_shape(lambda p: p, params)
+    restored = load_serving_params(str(tmp_path / "ckpt"), template)
+    assert restored["layers"][0]["qkv"]["w4"].dtype == jnp.int8
+
+    emb = jax.random.normal(jax.random.PRNGKey(6), (1, 5, 64)) * 0.1
+    gen = GenerationConfig(max_new_tokens=7, eos_token_id=-1,
+                           stop_sequences=(), pad_to_multiple=8)
+    want = generate(params, emb, llama_cfg=cfg, gen=gen)
+    got = generate(restored, emb, llama_cfg=cfg, gen=gen)
+    assert got == want
