@@ -96,6 +96,14 @@ def main():
     if os.path.exists(side):
         with open(side) as f:
             line["btadapter_static_fps"] = json.load(f)["btadapter_static_fps"]
+    # 7B decode sidecar (script/bench_decode.py writes it; a 7B init +
+    # compile here would overrun the driver's bench budget)
+    dside = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DECODE.json")
+    if os.path.exists(dside):
+        with open(dside) as f:
+            line["decode_w4a16_ms_per_token"] = json.load(f)[
+                "decode_w4a16_ms_per_token"]
     print(json.dumps(line))
 
 
