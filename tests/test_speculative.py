@@ -93,3 +93,43 @@ class TestSpeculative:
         got = speculative_generate(tgt, tgt, emb, tgt_cfg=TGT, dft_cfg=TGT,
                                    gen=gen, k=6)
         assert got == want and got[0][-1] == eos
+
+
+class TestDistill:
+    def test_distilled_draft_improves_acceptance(self):
+        """models/distill.py: hard-label distillation raises the draft's
+        argmax-match — and therefore speculative acceptance — far above an
+        untrained draft on the training distribution."""
+        from stllm_tpu.models.distill import distill_draft
+
+        tgt, dft0 = _models()
+        prompts = [
+            jax.random.normal(jax.random.PRNGKey(100 + i), (1, 9, TGT.hidden),
+                              jnp.float32) * 0.1
+            for i in range(4)
+        ]
+        gen = GenerationConfig(max_new_tokens=24, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        # continuation corpus = the target's own greedy outputs (what the
+        # draft must imitate during speculative generation)
+        conts = [jnp.asarray([generate(tgt, p, llama_cfg=TGT, gen=gen)[0]],
+                             jnp.int32) for p in prompts]
+
+        out0, stats0 = speculative_generate(
+            tgt, dft0, prompts[0][:1], tgt_cfg=TGT, dft_cfg=DFT, gen=gen,
+            k=4, return_stats=True)
+
+        dft = distill_draft(tgt, dft0,
+                            lambda i: (prompts[i % 4], conts[i % 4]),
+                            tgt_cfg=TGT, dft_cfg=DFT, steps=200,
+                            learning_rate=3e-3)
+        out1, stats1 = speculative_generate(
+            tgt, dft, prompts[0][:1], tgt_cfg=TGT, dft_cfg=DFT, gen=gen,
+            k=4, return_stats=True)
+
+        # equivalence holds regardless of the draft
+        want = generate(tgt, prompts[0][:1], llama_cfg=TGT, gen=gen)
+        assert out0 == want and out1 == want
+        # distillation must improve tokens/round materially
+        assert stats1["tokens_per_round"] > stats0["tokens_per_round"] + 0.5, (
+            stats0, stats1)
