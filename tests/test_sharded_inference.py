@@ -77,3 +77,26 @@ def test_profiler_trace_hook(tmp_path):
     tr.train(loader(), max_steps=3)
     traces = list(prof.rglob("*.trace.json.gz")) + list(prof.rglob("*.xplane.pb"))
     assert traces, f"no trace files under {prof}"
+
+
+def test_tp_sharded_decode_matches_single_device():
+    """Tensor-parallel 7B-style decode: the full generate loop (prefill +
+    chunked greedy with KV cache) under a `model`-axis mesh emits the same
+    tokens as single-device execution — GSPMD propagates the TP shardings
+    through the cache carry."""
+    from stllm_tpu.models.generation import GenerationConfig, generate
+    from stllm_tpu.models.llama import init_llama
+
+    cfg = TINY.llama
+    params = init_llama(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(1)
+    emb = jnp.asarray(rng.normal(size=(1, 7, cfg.hidden)) * 0.1, jnp.float32)
+    gen = GenerationConfig(max_new_tokens=12, eos_token_id=-1,
+                           stop_sequences=(), pad_to_multiple=8)
+    single = generate(params, emb, llama_cfg=cfg, gen=gen)
+
+    mesh = make_mesh(data=4, model=2)
+    p_sh = stllm_param_shardings(mesh, {"llama": params}, min_size=64)
+    sharded = jax.device_put({"llama": params}, p_sh)["llama"]
+    got = generate(sharded, emb, llama_cfg=cfg, gen=gen)
+    assert got == single
