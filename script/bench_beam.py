@@ -46,7 +46,12 @@ def main():
     from stllm_tpu.models.llama import (
         quantize_llama_params, quantize_llama_params_int4)
 
+    run_mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+    assert run_mode in ("both", "greedy", "beam"), (
+        f"usage: bench_beam.py [both|greedy|beam] [int8|int4], got "
+        f"{sys.argv[1:]}")
     wmode = sys.argv[2] if len(sys.argv) > 2 else "int8"
+    assert wmode in ("int8", "int4"), wmode
     if wmode == "int4":
         params = quantize_llama_params_int4(params, group=None,
                                             free_dense=True,
@@ -86,7 +91,7 @@ def main():
             times.append((time.perf_counter() - t0) * 1000)
         return float(np.percentile(times, 50))
 
-    mode = sys.argv[1] if len(sys.argv) > 1 else "both"
+    mode = run_mode
     out = {"metric": f"7B decode ms/token ({wmode} weights, 512-token "
                      "prompt, 32 new, one chip)"}
     if mode in ("both", "greedy"):

@@ -32,7 +32,7 @@ from typing import Dict, NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from stllm_tpu.models.llama import LlamaConfig, lm_head
+from stllm_tpu.models.llama import LlamaConfig, _qkv_proj, lm_head
 from stllm_tpu.ops.layers import linear, rms_norm, swiglu_mlp
 from stllm_tpu.ops.rope import apply_rope, rope_table
 
@@ -105,9 +105,7 @@ def h2o_decode_step(params: Dict, token_ids: jax.Array, cache: H2OCache,
     new_k, new_v, new_pos, new_mass, new_filled = [], [], [], [], []
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(layer["input_norm"], x, cfg.rms_eps)
-        q = linear(layer["q"], h).reshape(b, 1, cfg.heads, cfg.head_dim)
-        k = linear(layer["k"], h).reshape(b, 1, cfg.heads, cfg.head_dim)
-        v = linear(layer["v"], h).reshape(b, 1, cfg.heads, cfg.head_dim)
+        q, k, v = _qkv_proj(layer, h, b, 1, cfg)  # handles fused qkv trees
         q = apply_rope(q, cos, sin, positions)
         k = apply_rope(k, cos, sin, positions)
 
@@ -165,9 +163,7 @@ def h2o_prefill(params: Dict, inputs_embeds: jax.Array, attention_mask,
     ks, vs, masses = [], [], []
     for layer in params["layers"]:
         h = rms_norm(layer["input_norm"], x, cfg.rms_eps)
-        q = linear(layer["q"], h).reshape(b, s, cfg.heads, cfg.head_dim)
-        k = linear(layer["k"], h).reshape(b, s, cfg.heads, cfg.head_dim)
-        v = linear(layer["v"], h).reshape(b, s, cfg.heads, cfg.head_dim)
+        q, k, v = _qkv_proj(layer, h, b, s, cfg)  # handles fused qkv trees
         q = apply_rope(q, cos, sin, positions)
         k = apply_rope(k, cos, sin, positions)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale

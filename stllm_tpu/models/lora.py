@@ -36,14 +36,43 @@ def add_lora(params: Dict, rng: jax.Array, r: int, alpha: float = 32.0,
     layers = []
     keys = jax.random.split(rng, len(llama["layers"]) * len(targets))
     ki = iter(keys)
+    hidden = llama["embed_tokens"].shape[1]
     for layer in llama["layers"]:
         layer = dict(layer)
         for t in targets:
+            if t not in layer and t in ("q", "k", "v") and "qkv" in layer:
+                # fused serving tree: adapters still address the split
+                # names (applied to the split outputs in _qkv_proj)
+                fused = layer["qkv"]
+                d_in = hidden
+                d_out = (fused.get("w4_scale", fused.get("w_scale"))
+                         .shape[-1] // 3)
+                adapter_dtype = jnp.bfloat16
+                bound = (6.0 / d_in) ** 0.5
+                layer[f"{t}_lora"] = {
+                    "a": jax.random.uniform(next(ki), (d_in, r), jnp.float32,
+                                            -bound, bound
+                                            ).astype(adapter_dtype),
+                    "b": jnp.zeros((r, d_out), adapter_dtype),
+                    "alpha": jnp.asarray(alpha, jnp.float32),
+                }
+                continue
             base = layer[t]
             if "w" in base:
                 d_in, d_out = base["w"].shape
-            elif "w4" in base:  # int4-packed: rows are K/2 (ops/quant.py)
-                d_in, d_out = 2 * base["w4"].shape[0], base["w4"].shape[1]
+            elif "w4" in base:
+                # int4-packed rows are K/2, but per-channel storage may be
+                # K-PRE-PADDED for the Pallas kernel (ops/quant.py), so the
+                # packed shape cannot recover the true K. All LoRA-eligible
+                # projections except `down` consume the hidden vector; for
+                # `down` the fan-in is `up`'s fan-out.
+                d_out = base["w4"].shape[1]
+                if t == "down":
+                    up = layer.get("up") or layer.get("gateup")
+                    d_in = (up["w4_scale"].shape[-1] // 2
+                            if "gateup" in layer else up["w4_scale"].shape[-1])
+                else:
+                    d_in = hidden
             else:               # w_q / w_q16 int8 forms keep (K, N)
                 wq = base.get("w_q", base.get("w_q16"))
                 d_in, d_out = wq.shape

@@ -46,7 +46,8 @@ from stllm_tpu.models.llama import LlamaConfig, llama_forward, lm_head
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tgt_cfg", "dft_cfg", "k", "max_rounds"))
+    jax.jit, static_argnames=("tgt_cfg", "dft_cfg", "k", "max_rounds"),
+    donate_argnums=(3, 4))  # caches update in place (like chunked greedy)
 def _spec_chunk(tgt_params, dft_params, t0, tgt_cache, dft_cache, budget,
                 *, tgt_cfg: LlamaConfig, dft_cfg: LlamaConfig, k: int,
                 max_rounds: int):

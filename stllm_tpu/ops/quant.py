@@ -556,8 +556,14 @@ def quant_matmul_res_ln_static_reference(hq, hs, params_q, x_prev, ln_params,
 
 def _w4_padded_k2(k2: int, n: int) -> int:
     """Half-K the Pallas kernel wants: k2 itself when it tiles, else the
-    next 512-multiple (7B down matmul: 5504 -> 5632)."""
-    return k2 if _w4_tiles(k2, n) else -(-k2 // 512) * 512
+    next 512-multiple (7B down matmul: 5504 -> 5632) — but only when that
+    pad actually ENABLES a tiling (when the kernel declines for other
+    reasons, e.g. an un-tileable N, padding would just inflate storage —
+    up to 16x on small shapes — for a path that falls back to XLA anyway)."""
+    if _w4_tiles(k2, n):
+        return k2
+    k2p = -(-k2 // 512) * 512
+    return k2p if _w4_tiles(k2p, n) else k2
 
 
 def quantize_weights_int4(w: jax.Array, group: Optional[int] = None

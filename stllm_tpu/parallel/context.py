@@ -28,15 +28,11 @@ from stllm_tpu.ops.ring_attention import ring_attention
 def _layer_cp(layer: Dict, x: jax.Array, cos, sin, positions,
               kv_mask: Optional[jax.Array], axis_name: str,
               cfg: LlamaConfig) -> jax.Array:
-    from stllm_tpu.models.lora import apply_lora
+    from stllm_tpu.models.llama import _qkv_proj
 
     b, s, d = x.shape
     h = rms_norm(layer["input_norm"], x, cfg.rms_eps)
-    q = apply_lora(layer, "q", h, linear(layer["q"], h))
-    q = q.reshape(b, s, cfg.heads, cfg.head_dim)
-    k = linear(layer["k"], h).reshape(b, s, cfg.heads, cfg.head_dim)
-    v = apply_lora(layer, "v", h, linear(layer["v"], h))
-    v = v.reshape(b, s, cfg.heads, cfg.head_dim)
+    q, k, v = _qkv_proj(layer, h, b, s, cfg)  # handles fused qkv trees
     q = apply_rope(q, cos, sin, positions)
     k = apply_rope(k, cos, sin, positions)
     out = ring_attention(q, k, v, axis_name=axis_name, causal=True,

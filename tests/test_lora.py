@@ -105,3 +105,67 @@ def test_zoo_lora_r():
     }
     model = zoo.STLLM.from_config(cfg)
     assert "q_lora" in model.params["llama"]["layers"][0]
+
+
+def test_add_lora_on_prepadded_int4_tree():
+    """Regression (round 3b review): per-channel int4 storage may be
+    K-pre-padded for the Pallas kernel, so adapter fan-in must come from
+    the model config, not 2*w4.shape[0]. Covers the padded `down` target
+    and fused qkv trees."""
+    from stllm_tpu.models.generation import GenerationConfig, generate
+    from stllm_tpu.models.llama import quantize_llama_params_int4
+
+    cfg = LlamaConfig(vocab_size=97, hidden=64, num_layers=2, heads=4,
+                      intermediate=172, max_positions=64, dtype=jnp.float32)
+    params = init_llama(jax.random.PRNGKey(0), cfg)
+    q4 = quantize_llama_params_int4(params, group=None)
+    with_lora = add_lora({"llama": q4}, jax.random.PRNGKey(1), 4,
+                         targets=("q", "v", "down"))["llama"]
+    l0 = with_lora["layers"][0]
+    assert l0["q_lora"]["a"].shape == (64, 4)
+    assert l0["down_lora"]["a"].shape == (172, 4)      # true K, not padded
+    assert l0["down_lora"]["b"].shape == (4, 64)
+    gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1,
+                           stop_sequences=(), pad_to_multiple=8)
+    emb = jax.random.normal(jax.random.PRNGKey(2), (1, 5, 64)) * 0.1
+    out = generate(with_lora, emb, llama_cfg=cfg, gen=gen)
+    assert len(out[0]) == 4
+
+    fused = quantize_llama_params_int4(params, group=None, fuse=True)
+    with_lora_f = add_lora({"llama": fused}, jax.random.PRNGKey(3), 4)["llama"]
+    assert with_lora_f["layers"][0]["q_lora"]["b"].shape == (4, 64)
+    out_f = generate(with_lora_f, emb, llama_cfg=cfg, gen=gen)
+    assert len(out_f[0]) == 4
+
+
+def test_fused_tree_through_h2o_and_context_parallel():
+    """Regression (round 3b review): the fused qkv/gateup serving form must
+    work everywhere the split form does — H2O decode and the
+    context-parallel layer both project through _qkv_proj now."""
+    from stllm_tpu.models.h2o import h2o_decode_step, h2o_prefill
+    from stllm_tpu.models.llama import quantize_llama_params_int4
+
+    cfg = LlamaConfig(vocab_size=97, hidden=64, num_layers=2, heads=4,
+                      intermediate=172, max_positions=64, dtype=jnp.float32)
+    params = init_llama(jax.random.PRNGKey(5), cfg)
+    fused = quantize_llama_params_int4(params, group=None, fuse=True)
+
+    emb = jax.random.normal(jax.random.PRNGKey(6), (1, 6, 64)) * 0.1
+    mask = jnp.ones((1, 6), jnp.int32)
+    hidden, cache = h2o_prefill(fused, emb, mask, cfg, budget=16, recent=4)
+    from stllm_tpu.models.llama import lm_head as head_fn
+    nxt = jnp.argmax(head_fn(fused, hidden[:, -1:])[:, 0],
+                     axis=-1).astype(jnp.int32)
+    _, cache = h2o_decode_step(fused, nxt, cache, cfg)  # must not KeyError
+
+    # context-parallel forward over a fused tree matches the dense forward
+    from jax.sharding import Mesh
+    from stllm_tpu.models.llama import llama_forward
+    from stllm_tpu.parallel.context import context_parallel_forward
+
+    emb_cp = jax.random.normal(jax.random.PRNGKey(7), (2, 64, 64)) * 0.1
+    dense, _ = llama_forward(fused, inputs_embeds=emb_cp, cfg=cfg)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("cp",))
+    cp = context_parallel_forward(fused, emb_cp, mesh, cfg, axis_name="cp")
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(dense),
+                               rtol=2e-5, atol=2e-6)
