@@ -34,21 +34,22 @@ NEW = 64
 KV8 = dataclasses.replace(VICUNA_7B, kv_int8=True)
 
 
-def measure(params, label, iters=3, cfg=VICUNA_7B):
+def measure(params, label, iters=3, cfg=VICUNA_7B, batch=1):
     rng = np.random.default_rng(0)
-    emb = jnp.asarray(rng.normal(size=(1, PREFIX, cfg.hidden)) * 0.02,
+    emb = jnp.asarray(rng.normal(size=(batch, PREFIX, cfg.hidden)) * 0.02,
                       jnp.bfloat16)
     gen = GenerationConfig(max_new_tokens=NEW, stop_sequences=(),
                            eos_token_id=-1, pad_to_multiple=64)
     out = generate(params, emb, llama_cfg=cfg, gen=gen)  # compile+warm
-    assert len(out[0]) == NEW
+    assert len(out) == batch and len(out[0]) == NEW
     t0 = time.perf_counter()
     for _ in range(iters):
         generate(params, emb, llama_cfg=cfg, gen=gen)
     dt = (time.perf_counter() - t0) / iters
-    ms_tok = dt * 1e3 / NEW  # includes prefill (~1 call) + decode calls
-    print(f"{label:34s} {ms_tok:7.2f} ms/token (prefill+decode avg over "
-          f"{NEW} new tokens)", flush=True)
+    ms_tok = dt * 1e3 / NEW  # per decode STEP (all streams advance together)
+    tput = batch * NEW / dt
+    print(f"{label:34s} {ms_tok:7.2f} ms/step  {tput:7.0f} tok/s "
+          f"(B={batch}, prefill+decode avg over {NEW} steps)", flush=True)
     return ms_tok
 
 
@@ -83,19 +84,26 @@ def main():
     # default to the two production paths; "int4" (group=128 scales) takes
     # the hoisted-XLA dequant fallback (the Pallas kernel folds scales into
     # its epilogue, which per-group K-varying scales cannot do)
-    variants = sys.argv[1:] or ["int8", "int4f"]
+    args = sys.argv[1:]
+    batch = 1
+    for a in list(args):  # e.g. `bench_decode.py int4f --batch 8`
+        if a.startswith("--batch"):
+            batch = int(args[args.index(a) + 1])
+            args.remove(args[args.index(a) + 1]); args.remove(a)
+    variants = args or ["int8", "int4f"]
     results = {}
     for v in variants:
         # fresh init per variant: in-place free_dense conversion consumes
         # the dense tree
         params = init_llama(jax.random.PRNGKey(0), VICUNA_7B)
         params = CONVERT[v](params)
-        results[v] = measure(params, LABEL[v], cfg=CFG.get(v, VICUNA_7B))
+        results[v] = measure(params, LABEL[v], cfg=CFG.get(v, VICUNA_7B),
+                             batch=batch)
         del params
     print(results)
     # sidecar for bench.py: the production decode number rides along the
     # round bench JSON without costing the driver a 7B compile
-    if "int4f" in results:
+    if "int4f" in results and batch == 1:
         import json
         side = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_DECODE.json")

@@ -637,11 +637,12 @@ def w4_matmul(x: jax.Array, packed: jax.Array, scale: jax.Array) -> jax.Array:
 
 
 def _w4_pallas_kernel(x_ref, p_ref, s_ref, o_ref, acc_ref, *, k2: int,
-                      bk: int, n_k: int):
-    """One (n-tile, k-tile) step: unpack a packed block in VMEM via int32
-    shifts (int8 shl/sra have NO Mosaic lowering on this backend — verified
-    by bisection; int8->bf16 astype does), dot both halves, accumulate."""
-    ki = pl.program_id(1)
+                      bk: int, n_k: int, k_axis: int = 1):
+    """One (n-tile, k-tile[, m-tile]) step: unpack a packed block in VMEM
+    via int32 shifts (int8 shl/sra have NO Mosaic lowering on this
+    backend — verified by bisection; int8->bf16 astype does), dot both
+    halves, accumulate."""
+    ki = pl.program_id(k_axis)
 
     @pl.when(ki == 0)
     def _():
@@ -714,8 +715,18 @@ def w4_matmul_pallas(x: jax.Array, packed: jax.Array, scale: jax.Array
     m = 1
     for s in lead:
         m *= s
-    # decode rows: pad M to the bf16 sublane tile
-    mp = max(16, -(-m // 16) * 16)
+    # M handling, two regimes. m <= 512 (decode steps, B=1 prefill): ONE
+    # x tile with a CONSTANT index map — Pallas keeps it as a resident
+    # buffer, off the scoped-vmem stack, and weights stream exactly once.
+    # m > 512 (batched prefill): tile m at 128 with a moving index map —
+    # moving blocks are double-buffered ON the stack (~16 MB limit), which
+    # is what OOMed the untiled B=8 prefill (33 MB x block) and caps bm
+    # (2*bm*2k2*2 + 2*bk*bn*4 must fit; 128 fits every 7B shape). The
+    # m-tiles re-stream weights, so the small-m regime deliberately keeps
+    # the constant-x form (a bm=128-everywhere variant cost +0.25 ms/token
+    # at B=1 end-to-end).
+    bm = 128 if m > 512 else max(16, -(-m // 16) * 16)
+    mp = -(-m // bm) * bm
     x2 = x.reshape(m, x.shape[-1]).astype(jnp.bfloat16)
     if mp != m:
         x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
@@ -729,22 +740,43 @@ def w4_matmul_pallas(x: jax.Array, packed: jax.Array, scale: jax.Array
             [x2[:, :k2t], zpad, x2[:, k2t:], zpad], axis=1)
     k2 = k2p
     n_k = k2 // bk
-    kern = functools.partial(_w4_pallas_kernel, k2=k2, bk=bk, n_k=n_k)
-    out = pl.pallas_call(
-        kern,
-        grid=(n // bn, n_k),
-        in_specs=[
-            pl.BlockSpec((mp, 2 * k2), lambda j, ki: (0, 0)),
-            pl.BlockSpec((bk, bn), lambda j, ki: (ki, j)),
-            pl.BlockSpec((1, bn), lambda j, ki: (0, j)),
-        ],
-        out_specs=pl.BlockSpec((mp, bn), lambda j, ki: (0, j)),
-        out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((mp, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-        interpret=jax.default_backend() == "cpu",
-    )(x2, packed, scale.reshape(1, n).astype(jnp.float32))
+    scale2 = scale.reshape(1, n).astype(jnp.float32)
+    if mp == bm:  # single m-tile: constant x index map (resident buffer)
+        kern = functools.partial(_w4_pallas_kernel, k2=k2, bk=bk, n_k=n_k,
+                                 k_axis=1)
+        out = pl.pallas_call(
+            kern,
+            grid=(n // bn, n_k),
+            in_specs=[
+                pl.BlockSpec((bm, 2 * k2), lambda j, ki: (0, 0)),
+                pl.BlockSpec((bk, bn), lambda j, ki: (ki, j)),
+                pl.BlockSpec((1, bn), lambda j, ki: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda j, ki: (0, j)),
+            out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=jax.default_backend() == "cpu",
+        )(x2, packed, scale2)
+    else:
+        kern = functools.partial(_w4_pallas_kernel, k2=k2, bk=bk, n_k=n_k,
+                                 k_axis=2)
+        out = pl.pallas_call(
+            kern,
+            grid=(mp // bm, n // bn, n_k),
+            in_specs=[
+                pl.BlockSpec((bm, 2 * k2), lambda i, j, ki: (i, 0)),
+                pl.BlockSpec((bk, bn), lambda i, j, ki: (ki, j)),
+                pl.BlockSpec((1, bn), lambda i, j, ki: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, ki: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((mp, n), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=jax.default_backend() == "cpu",
+        )(x2, packed, scale2)
     return out[:m].reshape(*lead, n).astype(x.dtype)
 
 

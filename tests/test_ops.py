@@ -229,6 +229,14 @@ class TestQuantMatmul:
             np.testing.assert_allclose(np.asarray(got, np.float32),
                                        np.asarray(want, np.float32),
                                        atol=2e-2, rtol=2e-2)
+        # m > 512 takes the m-tiled grid (batched prefill regime; the
+        # constant-x single-tile form OOMs scoped vmem at mp=4096)
+        x_big = jax.random.normal(k2, (600, kdim), jnp.float32)
+        got = w4_matmul_pallas(x_big, packed, scale)
+        want = w4_matmul(x_big, packed, scale)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   atol=2e-2, rtol=2e-2)
         # groupwise scales: kernel declines, caller falls back
         packed_g, scale_g = quantize_weights_int4(w, group=128)
         assert w4_matmul_pallas(x, packed_g, scale_g) is None
