@@ -1,0 +1,81 @@
+"""Continuous-batching server throughput on the 7B fused-W4A16 stack.
+
+Submits N requests (512-token prompts, 64 new tokens each) to the
+slot-based server (stllm_tpu/serving.py) and measures sustained generated
+tokens/s including prefill interleave and slot refill — the serving-side
+counterpart of the offline fixed-batch number (script/bench_decode.py
+--batch 8: 399 tok/s with all streams in lockstep).
+
+Run: python script/bench_serving.py [n_requests] [slots]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stllm_tpu.models.generation import GenerationConfig
+from stllm_tpu.models.llama import (
+    VICUNA_7B, init_llama, quantize_llama_params_int4)
+from stllm_tpu.serving import ContinuousBatcher
+
+PROMPT, NEW = 512, 64
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    slots = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    params = init_llama(jax.random.PRNGKey(0), VICUNA_7B)
+    params = quantize_llama_params_int4(params, group=None, free_dense=True,
+                                        quant_head=True, fuse=True)
+    rng = np.random.default_rng(0)
+    gen = GenerationConfig(max_new_tokens=NEW, eos_token_id=-1,
+                           stop_sequences=(), pad_to_multiple=64)
+
+    def make_cb():
+        return ContinuousBatcher(params, VICUNA_7B, slots=slots,
+                                 max_len=PROMPT + NEW + 16, chunk=16)
+
+    def submit_all(cb, count):
+        for i in range(count):
+            emb = jnp.asarray(
+                rng.normal(size=(1, PROMPT, VICUNA_7B.hidden)) * 0.02,
+                jnp.bfloat16)
+            cb.submit(i, emb, gen)
+
+    # compile warmup (prefill bucket + insert + decode chunk)
+    cb = make_cb()
+    submit_all(cb, slots)
+    cb.run()
+
+    cb = make_cb()
+    submit_all(cb, n)
+    t0 = time.perf_counter()
+    out = cb.run()
+    dt = time.perf_counter() - t0
+    total = sum(len(v) for v in out.values())
+    assert len(out) == n and total == n * NEW
+    result = {
+        "metric": "continuous-batching sustained decode throughput "
+                  "(7B fused W4A16, 512-tok prompts, 64 new, incl. "
+                  "prefill interleave + slot refill)",
+        "n_requests": n,
+        "slots": slots,
+        "tokens_per_s": round(total / dt, 1),
+        "wall_s": round(dt, 2),
+        "offline_batch8_tokens_per_s": 399,
+    }
+    print(json.dumps(result))
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_SERVING.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

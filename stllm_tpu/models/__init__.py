@@ -12,7 +12,9 @@ from stllm_tpu.models.llama import (  # noqa: F401
     llama_forward,
     lm_head,
 )
+from stllm_tpu.models.distill import distill_draft  # noqa: F401
 from stllm_tpu.models.lora import add_lora, merge_lora  # noqa: F401
+from stllm_tpu.models.speculative import speculative_generate  # noqa: F401
 from stllm_tpu.models.qformer import (  # noqa: F401
     INSTRUCT_BLIP_QFORMER,
     QFormerConfig,

@@ -1,0 +1,169 @@
+"""Continuous-batching greedy server: slot-based multi-stream decode.
+
+The reference serves one request at a time through HF `generate`
+(reference: stllm/conversation/conversation.py:231-243). On TPU, decode is
+weight-HBM-bound (DESIGN.md), so a single stream leaves the chip ~90% idle
+at the memory system level: every step reads all 3.3 GB of W4A16 weights to
+advance one token. Batching B streams shares each weight read — measured
+399 tok/s at B=8 vs 118 at B=1 (script/bench_decode.py --batch) — but an
+offline fixed batch forces all requests to start and stop together.
+
+This module adds the serving-side half: a slot-based continuous batcher.
+The KV cache is one static-shape (B, max_len, H, D) buffer set per layer
+with PER-ROW valid lengths (models/llama.py KVCache.length — the decode
+layer already writes at each row's own offset and masks attention by
+absolute position, so rows at different progress coexist in one program).
+Requests are admitted into free slots as they arrive: a (1, S) prefill
+program fills the row, the shared decode-chunk program advances all slots
+together, and finished slots are refilled without stopping the others. Two
+compiled programs total (plus one prefill/insert pair per prompt-length
+bucket) serve an arbitrary request stream.
+
+Greedy only — matching the MVBench/VideoQA protocols (do_sample=False).
+Per-request outputs are token-identical to `generation.generate` run alone:
+tests/test_serving.py checks answer-for-answer equality.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stllm_tpu.models.generation import (
+    GenerationConfig, _decode_chunk_greedy, _ends_with, _pad_prompt,
+    _prefill)
+from stllm_tpu.models.llama import KVCache, LlamaConfig, init_kv_cache
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _insert_slot(cache: KVCache, prefix: KVCache, slot: jax.Array
+                 ) -> KVCache:
+    """Copy a (1, S, H, D)-per-layer prefill cache into row ``slot`` of the
+    batched cache and set that row's length. Stale tail entries beyond the
+    new length are overwritten by decode writes before they ever become
+    attendable (write-at-length precedes attend-up-to-length each step)."""
+    def put(c, p):
+        return jax.lax.dynamic_update_slice(
+            c, p.astype(c.dtype), (slot, 0, 0, 0))
+
+    new_k = tuple(put(c, p) for c, p in zip(cache.k, prefix.k))
+    new_v = tuple(put(c, p) for c, p in zip(cache.v, prefix.v))
+    length = cache.length.at[slot].set(prefix.length[0])
+    ks = vs = None
+    if cache.k_scale is not None:
+        ks = tuple(jax.lax.dynamic_update_slice(c, p, (slot, 0, 0))
+                   for c, p in zip(cache.k_scale, prefix.k_scale))
+        vs = tuple(jax.lax.dynamic_update_slice(c, p, (slot, 0, 0))
+                   for c, p in zip(cache.v_scale, prefix.v_scale))
+    return KVCache(k=new_k, v=new_v, length=length, k_scale=ks, v_scale=vs)
+
+
+class Request:
+    def __init__(self, rid, inputs_embeds: jax.Array,
+                 gen: GenerationConfig):
+        assert inputs_embeds.ndim == 3 and inputs_embeds.shape[0] == 1
+        self.rid = rid
+        self.embeds = inputs_embeds
+        self.gen = gen
+        self.tokens: List[int] = []
+        self.done = False
+
+
+class ContinuousBatcher:
+    """Slot-based greedy server over one model replica.
+
+    >>> cb = ContinuousBatcher(params, cfg, slots=8, max_len=1024)
+    >>> cb.submit("a", embeds_a, gen); cb.submit("b", embeds_b, gen)
+    >>> answers = cb.run()   # {"a": [...tokens...], "b": [...]}
+    New requests may be submitted between `step()` calls while others are
+    mid-decode; `run()` drains the queue.
+    """
+
+    def __init__(self, params: Dict, cfg: LlamaConfig, *, slots: int = 8,
+                 max_len: int = 1024, chunk: int = 8):
+        self.params = params
+        self.cfg = cfg
+        self.slots = slots
+        self.max_len = max_len
+        self.chunk = chunk
+        self.cache = init_kv_cache(cfg, slots, max_len)
+        self.cur = jnp.zeros((slots,), jnp.int32)
+        self.active: List[Optional[Request]] = [None] * slots
+        self.queue: List[Request] = []
+
+    def submit(self, rid, inputs_embeds: jax.Array,
+               gen: GenerationConfig = GenerationConfig()):
+        self.queue.append(Request(rid, inputs_embeds, gen))
+
+    # -- internals --------------------------------------------------------
+
+    def _admit(self):
+        for slot in range(self.slots):
+            if self.active[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            emb, mask = _pad_prompt(
+                req.embeds, jnp.ones(req.embeds.shape[:2], jnp.int32),
+                req.gen.pad_to_multiple)
+            s_pad = emb.shape[1]
+            assert s_pad + req.gen.max_new_tokens <= self.max_len, (
+                "prompt + budget exceeds server max_len")
+            # per-bucket (1, s_pad) prefill program; insert is bucket-keyed
+            # too (prefix buffers are (1, s_pad, H, D))
+            logits, prefix = _prefill(self.params, emb, mask, self.cfg,
+                                      s_pad)
+            self.cache = _insert_slot(self.cache, prefix,
+                                      jnp.int32(slot))
+            first = int(np.asarray(jnp.argmax(logits, axis=-1))[0])
+            self.cur = self.cur.at[slot].set(first)
+            self.active[slot] = req
+            self._emit(slot, [first])
+
+    def _emit(self, slot: int, tokens: Sequence[int]):
+        req = self.active[slot]
+        for tok in tokens:
+            if req.done:
+                break
+            req.tokens.append(tok)
+            if tok == req.gen.eos_token_id or any(
+                    _ends_with(req.tokens, st)
+                    for st in req.gen.stop_sequences):
+                req.done = True
+            elif len(req.tokens) >= req.gen.max_new_tokens:
+                req.done = True
+        if req.done:
+            self.active[slot] = None
+            # park the freed row's length at 0 so an idle slot never walks
+            # its write offset toward max_len across many chunks
+            self.cache = self.cache._replace(
+                length=self.cache.length.at[slot].set(0))
+
+    def step(self) -> List[Request]:
+        """Admit queued requests, run one decode chunk, return requests
+        that finished during this step."""
+        self._admit()
+        if not any(r is not None for r in self.active):
+            return []
+        before = {s: r for s, r in enumerate(self.active) if r is not None}
+        toks, self.cache = _decode_chunk_greedy(
+            self.params, self.cur, self.cache, self.cfg, self.chunk)
+        toks_h = np.asarray(toks)
+        self.cur = toks[:, -1]
+        finished = []
+        for slot, req in before.items():
+            self._emit(slot, [int(t) for t in toks_h[slot]])
+            if self.active[slot] is None:
+                finished.append(req)
+        return finished
+
+    def run(self) -> Dict[object, List[int]]:
+        """Drain the queue and all active slots; returns rid -> tokens."""
+        out: Dict[object, List[int]] = {}
+        while self.queue or any(r is not None for r in self.active):
+            for req in self.step():
+                out[req.rid] = req.tokens
+        return out

@@ -1,0 +1,87 @@
+"""Continuous-batching server (stllm_tpu/serving.py): per-request outputs
+are token-identical to running generation.generate alone, across slot
+reuse, mixed prompt lengths, mixed budgets, and stop conditions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stllm_tpu.models.generation import GenerationConfig, generate
+from stllm_tpu.models.llama import LlamaConfig, init_llama
+from stllm_tpu.serving import ContinuousBatcher
+
+CFG = LlamaConfig(vocab_size=97, hidden=48, num_layers=2, heads=4,
+                  intermediate=96, max_positions=256, dtype=jnp.float32)
+
+
+def _req(seed, s):
+    return jax.random.normal(jax.random.PRNGKey(seed), (1, s, CFG.hidden),
+                             jnp.float32) * 0.1
+
+
+class TestContinuousBatching:
+    def test_matches_sequential_generate(self):
+        params = init_llama(jax.random.PRNGKey(0), CFG)
+        gens = {
+            "short": GenerationConfig(max_new_tokens=5, eos_token_id=-1,
+                                      stop_sequences=(), pad_to_multiple=8),
+            "long": GenerationConfig(max_new_tokens=37, eos_token_id=-1,
+                                     stop_sequences=(), pad_to_multiple=8),
+            "mid": GenerationConfig(max_new_tokens=20, eos_token_id=-1,
+                                    stop_sequences=(), pad_to_multiple=8),
+        }
+        # mixed prompt lengths (different pad buckets) and budgets; more
+        # requests than slots so slots get reused mid-flight
+        reqs = [("a", _req(1, 5), gens["long"]),
+                ("b", _req(2, 11), gens["short"]),
+                ("c", _req(3, 7), gens["mid"]),
+                ("d", _req(4, 16), gens["long"]),
+                ("e", _req(5, 3), gens["mid"])]
+
+        want = {rid: generate(params, emb, llama_cfg=CFG, gen=g)[0]
+                for rid, emb, g in reqs}
+
+        cb = ContinuousBatcher(params, CFG, slots=2, max_len=96, chunk=4)
+        for rid, emb, g in reqs:
+            cb.submit(rid, emb, g)
+        got = cb.run()
+        assert set(got) == set(want)
+        for rid in want:
+            assert got[rid] == want[rid], rid
+
+    def test_stop_sequence_and_eos(self):
+        params = init_llama(jax.random.PRNGKey(7), CFG)
+        emb = _req(8, 6)
+        base = GenerationConfig(max_new_tokens=24, eos_token_id=-1,
+                                stop_sequences=(), pad_to_multiple=8)
+        free = generate(params, emb, llama_cfg=CFG, gen=base)[0]
+        gen_stop = GenerationConfig(max_new_tokens=24, eos_token_id=-1,
+                                    stop_sequences=((free[6],),),
+                                    pad_to_multiple=8)
+        gen_eos = GenerationConfig(max_new_tokens=24, eos_token_id=free[4],
+                                   stop_sequences=(), pad_to_multiple=8)
+        want_stop = generate(params, emb, llama_cfg=CFG, gen=gen_stop)[0]
+        want_eos = generate(params, emb, llama_cfg=CFG, gen=gen_eos)[0]
+
+        cb = ContinuousBatcher(params, CFG, slots=2, max_len=64, chunk=4)
+        cb.submit("stop", emb, gen_stop)
+        cb.submit("eos", emb, gen_eos)
+        got = cb.run()
+        assert got["stop"] == want_stop
+        assert got["eos"] == want_eos
+
+    def test_late_submission_joins_running_batch(self):
+        params = init_llama(jax.random.PRNGKey(9), CFG)
+        gen = GenerationConfig(max_new_tokens=12, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        a, b = _req(10, 5), _req(11, 9)
+        want_a = generate(params, a, llama_cfg=CFG, gen=gen)[0]
+        want_b = generate(params, b, llama_cfg=CFG, gen=gen)[0]
+
+        cb = ContinuousBatcher(params, CFG, slots=2, max_len=64, chunk=4)
+        cb.submit("a", a, gen)
+        done = cb.step()          # "a" mid-flight
+        assert not done
+        cb.submit("b", b, gen)    # joins while "a" decodes
+        out = cb.run()
+        assert out["a"] == want_a and out["b"] == want_b
