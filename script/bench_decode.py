@@ -86,10 +86,14 @@ def main():
     # its epilogue, which per-group K-varying scales cannot do)
     args = sys.argv[1:]
     batch = 1
-    for a in list(args):  # e.g. `bench_decode.py int4f --batch 8`
-        if a.startswith("--batch"):
-            batch = int(args[args.index(a) + 1])
-            args.remove(args[args.index(a) + 1]); args.remove(a)
+    for a in list(args):  # `--batch 8` or `--batch=8`
+        if a == "--batch":
+            i = args.index(a)
+            batch = int(args[i + 1])
+            del args[i:i + 2]
+        elif a.startswith("--batch="):
+            batch = int(a.split("=", 1)[1])
+            args.remove(a)
     variants = args or ["int8", "int4f"]
     results = {}
     for v in variants:

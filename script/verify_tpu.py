@@ -192,6 +192,12 @@ def quant_kernels():
     got4 = jax.jit(lambda x: w4_matmul_pallas(x, packed, pscale))(x4)
     want4 = w4_matmul(x4, packed, pscale)
     check("w4_matmul_pallas", got4, want4, 5e-2)
+    # m>512 dispatch tier: 3D grid with a MOVING x block (batched prefill;
+    # round 3b) — a distinct Mosaic lowering the m<=512 path never compiles
+    x4m = jnp.asarray(rng.normal(size=(640, kdim)), jnp.bfloat16)
+    got4m = jax.jit(lambda x: w4_matmul_pallas(x, packed, pscale))(x4m)
+    want4m = w4_matmul(x4m, packed, pscale)
+    check("w4_matmul_pallas_mtiled", got4m, want4m, 5e-2)
 
     # epilogue-carried LN kernel (s8 dot + residual + LN + static int8)
     from stllm_tpu.ops.quant import (

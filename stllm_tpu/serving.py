@@ -94,9 +94,18 @@ class ContinuousBatcher:
         self.cur = jnp.zeros((slots,), jnp.int32)
         self.active: List[Optional[Request]] = [None] * slots
         self.queue: List[Request] = []
+        self._finished: List[Request] = []
 
     def submit(self, rid, inputs_embeds: jax.Array,
                gen: GenerationConfig = GenerationConfig()):
+        s = inputs_embeds.shape[1]
+        s_pad = s + (-s) % gen.pad_to_multiple
+        if s_pad + gen.max_new_tokens > self.max_len:
+            # reject per request instead of crashing the server mid-drain
+            raise ValueError(
+                f"request {rid!r}: padded prompt ({s_pad}) + budget "
+                f"({gen.max_new_tokens}) exceeds server max_len "
+                f"({self.max_len})")
         self.queue.append(Request(rid, inputs_embeds, gen))
 
     # -- internals --------------------------------------------------------
@@ -110,8 +119,6 @@ class ContinuousBatcher:
                 req.embeds, jnp.ones(req.embeds.shape[:2], jnp.int32),
                 req.gen.pad_to_multiple)
             s_pad = emb.shape[1]
-            assert s_pad + req.gen.max_new_tokens <= self.max_len, (
-                "prompt + budget exceeds server max_len")
             # per-bucket (1, s_pad) prefill program; insert is bucket-keyed
             # too (prefix buffers are (1, s_pad, H, D))
             logits, prefix = _prefill(self.params, emb, mask, self.cfg,
@@ -137,33 +144,37 @@ class ContinuousBatcher:
                 req.done = True
         if req.done:
             self.active[slot] = None
-            # park the freed row's length at 0 so an idle slot never walks
-            # its write offset toward max_len across many chunks
+            self._finished.append(req)
+            # Rewind the freed row's length. Idle rows still advance by
+            # `chunk` per step until re-admitted — that is SAFE regardless
+            # (dynamic_update_slice clamps writes at max_len-1 and _admit
+            # resets the length), this reset just keeps the common case's
+            # garbage writes inside the buffer.
             self.cache = self.cache._replace(
                 length=self.cache.length.at[slot].set(0))
 
     def step(self) -> List[Request]:
         """Admit queued requests, run one decode chunk, return requests
-        that finished during this step."""
+        that finished during this step (including any whose admit-time
+        first token already completed them)."""
         self._admit()
-        if not any(r is not None for r in self.active):
-            return []
-        before = {s: r for s, r in enumerate(self.active) if r is not None}
-        toks, self.cache = _decode_chunk_greedy(
-            self.params, self.cur, self.cache, self.cfg, self.chunk)
-        toks_h = np.asarray(toks)
-        self.cur = toks[:, -1]
-        finished = []
-        for slot, req in before.items():
-            self._emit(slot, [int(t) for t in toks_h[slot]])
-            if self.active[slot] is None:
-                finished.append(req)
+        if any(r is not None for r in self.active):
+            before = {s: r for s, r in enumerate(self.active)
+                      if r is not None}
+            toks, self.cache = _decode_chunk_greedy(
+                self.params, self.cur, self.cache, self.cfg, self.chunk)
+            toks_h = np.asarray(toks)
+            self.cur = toks[:, -1]
+            for slot in before:
+                self._emit(slot, [int(t) for t in toks_h[slot]])
+        finished, self._finished = self._finished, []
         return finished
 
     def run(self) -> Dict[object, List[int]]:
         """Drain the queue and all active slots; returns rid -> tokens."""
         out: Dict[object, List[int]] = {}
-        while self.queue or any(r is not None for r in self.active):
+        while (self.queue or self._finished
+               or any(r is not None for r in self.active)):
             for req in self.step():
                 out[req.rid] = req.tokens
         return out

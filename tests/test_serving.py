@@ -70,6 +70,36 @@ class TestContinuousBatching:
         assert got["stop"] == want_stop
         assert got["eos"] == want_eos
 
+    def test_first_token_completion_and_rejection(self):
+        """Regression (round 3b review): a request finished by its
+        admit-time first token (max_new_tokens=1, or first-token eos) must
+        still appear in run()'s output; oversized requests are rejected at
+        submit() instead of crashing the server."""
+        import pytest
+
+        params = init_llama(jax.random.PRNGKey(12), CFG)
+        emb = _req(13, 5)
+        gen1 = GenerationConfig(max_new_tokens=1, eos_token_id=-1,
+                                stop_sequences=(), pad_to_multiple=8)
+        want = generate(params, emb, llama_cfg=CFG, gen=gen1)
+        cb = ContinuousBatcher(params, CFG, slots=2, max_len=64, chunk=4)
+        cb.submit("one", emb, gen1)
+        # first-token eos as well
+        base = GenerationConfig(max_new_tokens=8, eos_token_id=-1,
+                                stop_sequences=(), pad_to_multiple=8)
+        first = generate(params, emb, llama_cfg=CFG, gen=base)[0][0]
+        gen_eos = GenerationConfig(max_new_tokens=8, eos_token_id=first,
+                                   stop_sequences=(), pad_to_multiple=8)
+        cb.submit("eos0", emb, gen_eos)
+        got = cb.run()
+        assert got["one"] == want[0] and len(got["one"]) == 1
+        assert got["eos0"] == [first]
+
+        with pytest.raises(ValueError):
+            cb.submit("too-big", _req(14, 40),
+                      GenerationConfig(max_new_tokens=60,
+                                       pad_to_multiple=8))
+
     def test_late_submission_joins_running_batch(self):
         params = init_llama(jax.random.PRNGKey(9), CFG)
         gen = GenerationConfig(max_new_tokens=12, eos_token_id=-1,
