@@ -85,6 +85,13 @@ def _first_token_margin(llama_params, embeds, cfg, gen):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    # second arg selects the quantized stack under test:
+    #   int8  (default) — W8A8 static ViT + W8A8 LLaMA + int8 KV
+    #   w4a16           — W8A8 static ViT + fused W4A16 LLaMA + int8 head
+    #                     (the fastest decode stack; appended to
+    #                     EQUIV_INT8.json as "w4a16_random_weights")
+    stack = sys.argv[2] if len(sys.argv) > 2 else "int8"
+    assert stack in ("int8", "w4a16"), stack
     cfg = STLLMConfig(vit=dataclasses.replace(EVA_VIT_G, gelu_approx=True))
     params = init_stllm(jax.random.PRNGKey(0), cfg, init_llama_params=True)
 
@@ -113,7 +120,8 @@ def main():
     # copies cannot coexist on a 16 GB chip). The ViT uses the headline
     # STATIC activation scales, calibrated on the first 4 samples' frames —
     # so most of the evaluated samples are out-of-calibration data.
-    from stllm_tpu.models.llama import quantize_llama_params
+    from stllm_tpu.models.llama import (
+        quantize_llama_params, quantize_llama_params_int4)
     from stllm_tpu.models.vit import calibrate_vit_scales, quantize_vit_params
 
     cfg_q = dataclasses.replace(
@@ -122,9 +130,15 @@ def main():
     calib = np.concatenate([s["frames"][0] for s in samples[:4]], axis=0)
     params["vit"] = calibrate_vit_scales(
         params["vit"], jnp.asarray(calib), cfg.vit)
-    params["llama"] = quantize_llama_params(params["llama"], free_dense=True)
+    if stack == "w4a16":
+        params["llama"] = quantize_llama_params_int4(
+            params["llama"], group=None, free_dense=True, quant_head=True,
+            fuse=True)
+    else:
+        params["llama"] = quantize_llama_params(params["llama"],
+                                                free_dense=True)
 
-    int8_out, _ = run_samples(params, cfg_q, samples, "int8")
+    int8_out, _ = run_samples(params, cfg_q, samples, stack)
 
     first = sum(a[0] == b[0] for a, b in zip(bf16_out, int8_out))
     exact = sum(a == b for a, b in zip(bf16_out, int8_out))
@@ -146,8 +160,11 @@ def main():
     above_med = margins > med
     match_above_med = float((~flips[above_med]).mean()) if above_med.any() else 1.0
 
-    print(json.dumps({
-        "metric": "int8-vs-bf16 greedy answer equivalence "
+    desc = ("W8A8 static-scale ViT + W8A8 LLaMA + int8 KV cache"
+            if stack == "int8" else
+            "W8A8 static-scale ViT + fused W4A16 LLaMA + int8 head + int8 KV")
+    result = {
+        "metric": f"{stack}-vs-bf16 greedy answer equivalence "
                   "(16-frame MVBench-shaped QA, random full-size weights)",
         "n": n,
         "first_token_match": first / n,
@@ -156,8 +173,16 @@ def main():
         "median_top2_margin_bf16": round(med, 4),
         "max_margin_flipped": round(max_flip_margin, 4),
         "first_token_match_above_median_margin": match_above_med,
-        "int8_stack": "W8A8 static-scale ViT + W8A8 LLaMA + int8 KV cache",
-    }))
+        "quant_stack": desc,
+    }
+    print(json.dumps(result))
+    if stack == "w4a16":  # append alongside the int8 headline artifact
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "EQUIV_INT8.json")
+        doc = json.load(open(path)) if os.path.exists(path) else {}
+        doc["w4a16_random_weights"] = result
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=1)
 
 
 if __name__ == "__main__":
