@@ -29,11 +29,15 @@ TRACE_DIR = "/tmp/decode_trace"
 
 
 def main():
-    variant = sys.argv[1] if len(sys.argv) > 1 else "int4pc"
+    variant = sys.argv[1] if len(sys.argv) > 1 else "int4f"
     params = init_llama(jax.random.PRNGKey(0), VICUNA_7B)
     if variant == "int4pc":
         params = quantize_llama_params_int4(params, group=None,
                                             free_dense=True)
+    elif variant == "int4f":  # production: fused qkv/gateup + int8 head
+        params = quantize_llama_params_int4(params, group=None,
+                                            free_dense=True,
+                                            quant_head=True, fuse=True)
     elif variant == "int8":
         params = quantize_llama_params(params, free_dense=True)
 
