@@ -94,9 +94,14 @@ def main():
         "plain_greedy_baseline_ms": 8.46,
     }
     print(json.dumps(result))
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_SPEC.json"), "w") as f:
-        json.dump(result, f, indent=1)
+    # merge-update: keep sections other runs own (e.g. trained_demo from
+    # script/bench_spec_trained.py)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_SPEC.json")
+    doc = json.load(open(path)) if os.path.exists(path) else {}
+    doc.update(result)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
 
 
 if __name__ == "__main__":
