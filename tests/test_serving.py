@@ -70,6 +70,29 @@ class TestContinuousBatching:
         assert got["stop"] == want_stop
         assert got["eos"] == want_eos
 
+    def test_quantized_serving_tree(self):
+        """The server drives the production quantized form (fused W4A16 +
+        int8 head + int8 KV cache) with answers matching solo generate on
+        the same tree."""
+        import dataclasses
+
+        from stllm_tpu.models.llama import quantize_llama_params_int4
+
+        cfg = dataclasses.replace(CFG, kv_int8=True)
+        params = init_llama(jax.random.PRNGKey(21), CFG)
+        q = quantize_llama_params_int4(params, group=None, fuse=True,
+                                       quant_head=True)
+        gen = GenerationConfig(max_new_tokens=10, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        a, b = _req(22, 5), _req(23, 9)
+        want_a = generate(q, a, llama_cfg=cfg, gen=gen)[0]
+        want_b = generate(q, b, llama_cfg=cfg, gen=gen)[0]
+        cb = ContinuousBatcher(q, cfg, slots=2, max_len=48, chunk=4)
+        cb.submit("a", a, gen)
+        cb.submit("b", b, gen)
+        got = cb.run()
+        assert got["a"] == want_a and got["b"] == want_b
+
     def test_first_token_completion_and_rejection(self):
         """Regression (round 3b review): a request finished by its
         admit-time first token (max_new_tokens=1, or first-token eos) must
