@@ -98,6 +98,12 @@ class ContinuousBatcher:
 
     def submit(self, rid, inputs_embeds: jax.Array,
                gen: GenerationConfig = GenerationConfig()):
+        if (gen.do_sample or gen.num_beams > 1
+                or gen.repetition_penalty != 1.0 or gen.min_length > 1):
+            raise ValueError(
+                f"request {rid!r}: the continuous batcher decodes greedily "
+                "(the MVBench/VideoQA protocols); sampling/beam/penalty "
+                "requests must go through generation.generate")
         s = inputs_embeds.shape[1]
         s_pad = s + (-s) % gen.pad_to_multiple
         if s_pad + gen.max_new_tokens > self.max_len:

@@ -122,6 +122,10 @@ class TestContinuousBatching:
             cb.submit("too-big", _req(14, 40),
                       GenerationConfig(max_new_tokens=60,
                                        pad_to_multiple=8))
+        with pytest.raises(ValueError):  # greedy-only server
+            cb.submit("sampled", _req(15, 5),
+                      GenerationConfig(max_new_tokens=4, do_sample=True,
+                                       pad_to_multiple=8))
 
     def test_late_submission_joins_running_batch(self):
         params = init_llama(jax.random.PRNGKey(9), CFG)
