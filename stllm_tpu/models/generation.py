@@ -130,6 +130,64 @@ def _decode_step_topk_sample(params, token_ids, cache: KVCache, temperature,
     return top_v, top_i.astype(jnp.int32), cache
 
 
+def _topp_next(logits, keys, temperature, top_p, sample_mask):
+    """Exact nucleus (top-p) sampling, vectorized per row, ON DEVICE.
+
+    Matches the host `_sample_top_p` truncation rule exactly: sort the
+    temperature-scaled distribution descending, keep tokens while the
+    cumulative mass BEFORE each token is < top_p (so the token that crosses
+    the threshold is included), renormalize over the kept set, sample.
+    Rows where ``sample_mask`` is False take the argmax instead — one
+    program serves mixed greedy+sampled batches (the per-row branch is a
+    select, not control flow, so XLA fuses it; reference sampling semantics:
+    stllm/conversation/conversation.py:231-243 via HF do_sample/top_p).
+
+    logits (B, V) f32; keys (B, 2) uint32 per-row PRNG keys; temperature,
+    top_p, sample_mask (B,). Returns (B,) int32.
+    """
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temperature, 1e-5)[:, None]
+    order = jnp.argsort(-scaled, axis=-1)
+    sorted_logits = jnp.take_along_axis(scaled, order, axis=-1)
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p[:, None]  # first token always kept
+    masked = jnp.where(keep, sorted_logits, -jnp.inf)
+    pos = jax.vmap(jax.random.categorical)(keys, masked)
+    sampled = jnp.take_along_axis(
+        order, pos[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    return jnp.where(sample_mask, sampled, greedy)
+
+
+@jax.jit
+def _first_token_mixed(logits, keys, temperature, top_p, sample_mask):
+    """Sample/argmax the prefill logits (token index 0 of each stream)."""
+    return _topp_next(logits.astype(jnp.float32), keys, temperature, top_p,
+                      sample_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n"), donate_argnums=(2,))
+def _decode_chunk_mixed(params, token_ids, cache: KVCache, cfg: LlamaConfig,
+                        n: int, keys, counters, temperature, top_p,
+                        sample_mask):
+    """Decode ``n`` tokens in ONE device call with per-row greedy/top-p
+    selection. Each row's PRNG stream is `fold_in(row_key, token_index)`
+    with token_index counted per REQUEST (``counters`` + step offset), so a
+    request's sampled tokens are reproducible regardless of which slot it
+    lands in, what shares the batch, or the server's chunk size."""
+
+    def body(carry, i):
+        cur, cache = carry
+        logits, cache = _decode_step_impl(params, cur, cache, cfg)
+        step_keys = jax.vmap(jax.random.fold_in)(keys, counters + i)
+        nxt = _topp_next(logits.astype(jnp.float32), step_keys, temperature,
+                         top_p, sample_mask)
+        return (nxt, cache), nxt
+
+    (_, cache), toks = jax.lax.scan(body, (token_ids, cache), jnp.arange(n))
+    return toks.T, cache  # (B, n)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n"), donate_argnums=(2,))
 def _decode_chunk_greedy(params, token_ids, cache: KVCache, cfg: LlamaConfig,
                          n: int):

@@ -19,9 +19,15 @@ together, and finished slots are refilled without stopping the others. Two
 compiled programs total (plus one prefill/insert pair per prompt-length
 bucket) serve an arbitrary request stream.
 
-Greedy only — matching the MVBench/VideoQA protocols (do_sample=False).
-Per-request outputs are token-identical to `generation.generate` run alone:
-tests/test_serving.py checks answer-for-answer equality.
+Greedy requests match the MVBench/VideoQA protocols (do_sample=False) and
+are token-identical to `generation.generate` run alone: tests/test_serving.py
+checks answer-for-answer equality. Sampled requests (do_sample=True, the
+reference chat demo's default — stllm/conversation/conversation.py:231-243)
+run EXACT nucleus sampling on device, vectorized per row, so greedy and
+sampled streams share one decode program. Each sampled stream draws from
+`fold_in(PRNGKey(seed), token_index)`, making its tokens reproducible and
+independent of slot placement, co-tenants, and chunk size — a sampled
+request returns the same answer in a busy mixed server as in an idle one.
 """
 
 from __future__ import annotations
@@ -34,8 +40,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from stllm_tpu.models.generation import (
-    GenerationConfig, _decode_chunk_greedy, _ends_with, _pad_prompt,
-    _prefill)
+    GenerationConfig, _decode_chunk_greedy, _decode_chunk_mixed, _ends_with,
+    _first_token_mixed, _pad_prompt, _prefill)
 from stllm_tpu.models.llama import KVCache, LlamaConfig, init_kv_cache
 
 
@@ -64,11 +70,12 @@ def _insert_slot(cache: KVCache, prefix: KVCache, slot: jax.Array
 
 class Request:
     def __init__(self, rid, inputs_embeds: jax.Array,
-                 gen: GenerationConfig):
+                 gen: GenerationConfig, seed: int = 0):
         assert inputs_embeds.ndim == 3 and inputs_embeds.shape[0] == 1
         self.rid = rid
         self.embeds = inputs_embeds
         self.gen = gen
+        self.seed = seed
         self.tokens: List[int] = []
         self.done = False
 
@@ -95,15 +102,25 @@ class ContinuousBatcher:
         self.active: List[Optional[Request]] = [None] * slots
         self.queue: List[Request] = []
         self._finished: List[Request] = []
+        # per-slot sampling state (inert for greedy rows)
+        self.keys = np.zeros((slots, 2), np.uint32)
+        self.counters = np.zeros((slots,), np.int32)
+        self.temp = np.ones((slots,), np.float32)
+        self.topp = np.ones((slots,), np.float32)
+        self.samp = np.zeros((slots,), bool)
 
     def submit(self, rid, inputs_embeds: jax.Array,
-               gen: GenerationConfig = GenerationConfig()):
-        if (gen.do_sample or gen.num_beams > 1
-                or gen.repetition_penalty != 1.0 or gen.min_length > 1):
+               gen: GenerationConfig = GenerationConfig(), *,
+               seed: int = 0):
+        if (gen.num_beams > 1 or gen.repetition_penalty != 1.0
+                or gen.min_length > 1):
             raise ValueError(
-                f"request {rid!r}: the continuous batcher decodes greedily "
-                "(the MVBench/VideoQA protocols); sampling/beam/penalty "
-                "requests must go through generation.generate")
+                f"request {rid!r}: the continuous batcher serves greedy and "
+                "top-p-sampled streams; beam/penalty/min_length requests "
+                "must go through generation.generate")
+        if gen.do_sample and not 0.0 < gen.top_p <= 1.0:
+            raise ValueError(
+                f"request {rid!r}: top_p must be in (0, 1], got {gen.top_p}")
         s = inputs_embeds.shape[1]
         s_pad = s + (-s) % gen.pad_to_multiple
         if s_pad + gen.max_new_tokens > self.max_len:
@@ -112,7 +129,7 @@ class ContinuousBatcher:
                 f"request {rid!r}: padded prompt ({s_pad}) + budget "
                 f"({gen.max_new_tokens}) exceeds server max_len "
                 f"({self.max_len})")
-        self.queue.append(Request(rid, inputs_embeds, gen))
+        self.queue.append(Request(rid, inputs_embeds, gen, seed))
 
     # -- internals --------------------------------------------------------
 
@@ -131,7 +148,23 @@ class ContinuousBatcher:
                                       s_pad)
             self.cache = _insert_slot(self.cache, prefix,
                                       jnp.int32(slot))
-            first = int(np.asarray(jnp.argmax(logits, axis=-1))[0])
+            g = req.gen
+            self.samp[slot] = g.do_sample
+            self.temp[slot] = g.temperature
+            self.topp[slot] = g.top_p
+            self.counters[slot] = 1  # token 0 is sampled below
+            key = np.asarray(jax.random.PRNGKey(req.seed), np.uint32)
+            self.keys[slot] = key
+            if g.do_sample:
+                first_key = np.asarray(
+                    jax.random.fold_in(key, 0), np.uint32)[None]
+                first = int(np.asarray(_first_token_mixed(
+                    logits, first_key,
+                    jnp.float32(g.temperature)[None],
+                    jnp.float32(g.top_p)[None],
+                    jnp.asarray([True])))[0])
+            else:
+                first = int(np.asarray(jnp.argmax(logits, axis=-1))[0])
             self.cur = self.cur.at[slot].set(first)
             self.active[slot] = req
             self._emit(slot, [first])
@@ -151,6 +184,7 @@ class ContinuousBatcher:
         if req.done:
             self.active[slot] = None
             self._finished.append(req)
+            self.samp[slot] = False  # freed rows fall back to argmax rows
             # Rewind the freed row's length. Idle rows still advance by
             # `chunk` per step until re-admitted — that is SAFE regardless
             # (dynamic_update_slice clamps writes at max_len-1 and _admit
@@ -167,8 +201,24 @@ class ContinuousBatcher:
         if any(r is not None for r in self.active):
             before = {s: r for s, r in enumerate(self.active)
                       if r is not None}
-            toks, self.cache = _decode_chunk_greedy(
-                self.params, self.cur, self.cache, self.cfg, self.chunk)
+            if self.samp.any():
+                # jnp.array (copy=True), NOT jnp.asarray: the CPU backend
+                # zero-copies aligned numpy buffers into jit arguments, and
+                # this method mutates these arrays (counters advance, _emit
+                # clears samp) while the dispatched chunk may still be
+                # running asynchronously — an aliased buffer makes the
+                # in-flight program read the mutated values (caught as a
+                # nondeterministic sampled stream on the test backend).
+                toks, self.cache = _decode_chunk_mixed(
+                    self.params, self.cur, self.cache, self.cfg, self.chunk,
+                    jnp.array(self.keys), jnp.array(self.counters),
+                    jnp.array(self.temp), jnp.array(self.topp),
+                    jnp.array(self.samp))
+                self.counters += self.chunk
+            else:
+                # pure-greedy protocol traffic skips the per-step vocab sort
+                toks, self.cache = _decode_chunk_greedy(
+                    self.params, self.cur, self.cache, self.cfg, self.chunk)
             toks_h = np.asarray(toks)
             self.cur = toks[:, -1]
             for slot in before:

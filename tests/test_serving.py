@@ -122,10 +122,14 @@ class TestContinuousBatching:
             cb.submit("too-big", _req(14, 40),
                       GenerationConfig(max_new_tokens=60,
                                        pad_to_multiple=8))
-        with pytest.raises(ValueError):  # greedy-only server
-            cb.submit("sampled", _req(15, 5),
-                      GenerationConfig(max_new_tokens=4, do_sample=True,
+        with pytest.raises(ValueError):  # beams go through generate()
+            cb.submit("beam", _req(15, 5),
+                      GenerationConfig(max_new_tokens=4, num_beams=3,
                                        pad_to_multiple=8))
+        with pytest.raises(ValueError):  # invalid nucleus mass
+            cb.submit("badp", _req(15, 5),
+                      GenerationConfig(max_new_tokens=4, do_sample=True,
+                                       top_p=0.0, pad_to_multiple=8))
 
     def test_late_submission_joins_running_batch(self):
         params = init_llama(jax.random.PRNGKey(9), CFG)
@@ -142,3 +146,99 @@ class TestContinuousBatching:
         cb.submit("b", b, gen)    # joins while "a" decodes
         out = cb.run()
         assert out["a"] == want_a and out["b"] == want_b
+
+
+class TestSampledServing:
+    """On-device nucleus sampling in the continuous batcher: exact top-p
+    truncation, per-request reproducibility, and greedy/sampled coexistence
+    in one decode program."""
+
+    def test_device_nucleus_matches_host_rule(self):
+        from stllm_tpu.models.generation import _topp_next
+
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(size=(4, 97)) * 3.0, jnp.float32)
+        temp = jnp.asarray([1.0, 0.7, 1.3, 1.0], jnp.float32)
+        topp = jnp.asarray([0.6, 0.9, 0.3, 1e-6], jnp.float32)
+        mask = jnp.asarray([True, True, True, True])
+
+        # host nucleus per row (same keep rule as generation._sample_top_p)
+        lg = np.asarray(logits, np.float64)
+        lg = lg / np.maximum(np.asarray(temp, np.float64), 1e-5)[:, None]
+        nucleus = []
+        for row in range(4):
+            p = np.exp(lg[row] - lg[row].max())
+            p /= p.sum()
+            order = np.argsort(-p)
+            keep = np.cumsum(p[order]) - p[order] < float(topp[row])
+            nucleus.append(set(int(t) for t in order[keep]))
+
+        hits = [set() for _ in range(4)]
+        for s in range(60):
+            keys = jnp.tile(
+                jnp.asarray(jax.random.PRNGKey(1000 + s))[None], (4, 1))
+            out = np.asarray(_topp_next(logits, keys, temp, topp, mask))
+            for row in range(4):
+                assert int(out[row]) in nucleus[row], (row, int(out[row]))
+                hits[row].add(int(out[row]))
+        # the wide rows actually explore their nucleus ...
+        assert len(hits[1]) > 1
+        # ... and top_p -> 0 degenerates to greedy
+        assert hits[3] == {int(np.asarray(jnp.argmax(logits[3])))}
+
+        # sample_mask=False rows take the argmax regardless of key
+        off = np.asarray(_topp_next(
+            logits, keys, temp, topp, jnp.zeros((4,), bool)))
+        assert (off == np.asarray(jnp.argmax(logits, axis=-1))).all()
+
+    def test_sampled_stream_independent_of_cotenants(self):
+        params = init_llama(jax.random.PRNGKey(0), CFG)
+        emb = _req(11, 9)
+        gs = GenerationConfig(max_new_tokens=18, eos_token_id=-1,
+                              stop_sequences=(), pad_to_multiple=8,
+                              do_sample=True, top_p=0.8, temperature=1.1)
+
+        solo = ContinuousBatcher(params, CFG, slots=1, max_len=64, chunk=4)
+        solo.submit("x", emb, gs, seed=123)
+        want = solo.run()["x"]
+        assert len(want) == 18
+
+        # same request inside a busy mixed server with a DIFFERENT chunk
+        # size, greedy co-tenants, and a second sampled stream
+        gg = GenerationConfig(max_new_tokens=12, eos_token_id=-1,
+                              stop_sequences=(), pad_to_multiple=8)
+        a = _req(1, 5)
+        cb = ContinuousBatcher(params, CFG, slots=3, max_len=64, chunk=6)
+        cb.submit("g1", a, gg)
+        cb.submit("x", emb, gs, seed=123)
+        cb.submit("y", emb, gs, seed=7)
+        cb.submit("g2", _req(2, 7), gg)
+        got = cb.run()
+        assert got["x"] == want
+        # greedy rows in the mixed program stay token-identical to generate
+        assert got["g1"] == generate(params, a, llama_cfg=CFG, gen=gg)[0]
+        # a different seed re-running the same prompt is its own stream,
+        # reproducible in yet another server shape
+        cb2 = ContinuousBatcher(params, CFG, slots=2, max_len=64, chunk=3)
+        cb2.submit("y", emb, gs, seed=7)
+        assert cb2.run()["y"] == got["y"]
+
+    def test_sampled_stop_conditions(self):
+        import dataclasses
+
+        params = init_llama(jax.random.PRNGKey(7), CFG)
+        emb = _req(21, 6)
+        free = GenerationConfig(max_new_tokens=24, eos_token_id=-1,
+                                stop_sequences=(), pad_to_multiple=8,
+                                do_sample=True, top_p=0.9, temperature=1.0)
+        cb = ContinuousBatcher(params, CFG, slots=1, max_len=64, chunk=4)
+        cb.submit("free", emb, free, seed=5)
+        toks = cb.run()["free"]
+        assert len(toks) == 24
+        # eos mid-stream truncates exactly there
+        gen_eos = dataclasses.replace(free, eos_token_id=toks[10])
+        cb = ContinuousBatcher(params, CFG, slots=1, max_len=64, chunk=4)
+        cb.submit("eos", emb, gen_eos, seed=5)
+        got = cb.run()["eos"]
+        cut = toks.index(gen_eos.eos_token_id)
+        assert got == toks[:cut + 1]
