@@ -118,18 +118,6 @@ def _decode_step_topk_prefix(params, token_ids, prefix: KVCache,
     return top_v, top_i.astype(jnp.int32), gen_cache
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "k"), donate_argnums=(2,))
-def _decode_step_topk_sample(params, token_ids, cache: KVCache, temperature,
-                             cfg: LlamaConfig, k: int):
-    """Sampling device step: temperature-scaled log-softmax + top-k on
-    device; the host samples from the truncated set (exactness is checked
-    against the returned mass — see generate)."""
-    logits, cache = _decode_step_impl(params, token_ids, cache, cfg)
-    logp = jax.nn.log_softmax(logits / jnp.maximum(temperature, 1e-5), axis=-1)
-    top_v, top_i = jax.lax.top_k(logp, k)
-    return top_v, top_i.astype(jnp.int32), cache
-
-
 def _topp_next(logits, keys, temperature, top_p, sample_mask):
     """Exact nucleus (top-p) sampling, vectorized per row, ON DEVICE.
 
@@ -164,6 +152,20 @@ def _first_token_mixed(logits, keys, temperature, top_p, sample_mask):
     """Sample/argmax the prefill logits (token index 0 of each stream)."""
     return _topp_next(logits.astype(jnp.float32), keys, temperature, top_p,
                       sample_mask)
+
+
+@jax.jit
+def _first_token_sampled(logits, seed, temperature, top_p):
+    """Admit-time helper: build the stream key from the request seed INSIDE
+    jit (PRNGKey is a device op — constructing it eagerly on the host costs
+    a blocking ~30 ms round trip per admit through the device tunnel) and
+    sample token index 0. Returns (token (1,), key (2,))."""
+    key = jax.random.PRNGKey(seed)
+    tok = _topp_next(logits.astype(jnp.float32),
+                     jax.random.fold_in(key, 0)[None],
+                     temperature[None], top_p[None],
+                     jnp.ones((1,), bool))
+    return tok, key
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n"), donate_argnums=(2,))
@@ -312,16 +314,33 @@ def _generate_greedy_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
     budget runs as ONE device call — each blocking host round-trip costs
     ~30 ms through the axon tunnel (~2 ms/token at chunk=16 on a 64-token
     run, script/profile_decode.py)."""
+    state = {"cur": jnp.argmax(logits, axis=-1).astype(jnp.int32),
+             "cache": cache}
+
+    def run_chunk(n):
+        toks, state["cache"] = _decode_chunk_greedy(
+            params, state["cur"], state["cache"], llama_cfg, n)
+        state["cur"] = toks[:, -1]
+        return toks
+
+    return _chunked_decode_loop(b, gen, state["cur"], run_chunk, chunk)
+
+
+def _chunked_decode_loop(b, gen: GenerationConfig, first, run_chunk,
+                         chunk: int) -> List[List[int]]:
+    """Shared host side of the chunked decode loops: emit tokens, check
+    per-row stop conditions between device chunks, truncate over-generation.
+    ``run_chunk(n)`` advances the device state by ``n`` tokens and returns
+    the (b, n) token block. When no early stop is possible the whole budget
+    runs as one chunk (see _generate_greedy_ondevice)."""
     can_stop = bool(gen.stop_sequences) or (
         gen.eos_token_id is not None and gen.eos_token_id >= 0)
     if not can_stop:
         chunk = gen.max_new_tokens
-    cur = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     generated: List[List[int]] = [[] for _ in range(b)]
     done = [False] * b
     emitted = 0
-    first = np.asarray(cur)  # first token comes from prefill logits
-    pending = first[:, None]
+    pending = np.asarray(first)[:, None]  # first token from prefill logits
     while True:
         for col in range(pending.shape[1]):
             for i in range(b):
@@ -335,59 +354,43 @@ def _generate_greedy_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
             if emitted >= gen.max_new_tokens or all(done):
                 return generated
         n = min(chunk, gen.max_new_tokens - emitted)
-        toks, cache = _decode_chunk_greedy(params, cur, cache, llama_cfg, n)
-        pending = np.asarray(toks)
-        cur = toks[:, -1]
+        pending = np.asarray(run_chunk(n))
     return generated
-
-
-def _sample_from_topk(top_v: np.ndarray, top_i: np.ndarray, top_p: float,
-                      rng: np.random.Generator) -> np.ndarray:
-    """Exact nucleus sampling over device-truncated top-k log-probs: the
-    values are FULL-softmax log-probs, so the nucleus is identical to the
-    full-vocab computation whenever the top-k mass covers ``top_p`` — which
-    the caller's k (128 for p<=0.95) guarantees in practice; if not, the
-    nucleus simply saturates at k candidates (mass still >= the largest
-    representable prefix)."""
-    b, k = top_v.shape
-    out = np.empty(b, np.int64)
-    for i in range(b):
-        p = np.exp(top_v[i])          # descending, true probabilities
-        cum = np.cumsum(p)
-        keep = (cum - p) < top_p      # same rule as _sample_top_p
-        kept_p = p[keep] / p[keep].sum()
-        out[i] = top_i[i][keep][rng.choice(keep.sum(), p=kept_p)]
-    return out
 
 
 def _generate_sample_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
                               gen: GenerationConfig, b: int,
-                              seed: int, k: int = 128) -> List[List[int]]:
-    rng = np.random.default_rng(seed)
-    lg = np.asarray(logits, np.float32) / max(gen.temperature, 1e-5)
-    logp = lg - np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(-1, keepdims=True)) - lg.max(-1, keepdims=True)
-    order = np.argsort(-logp, axis=-1)[:, :k]
-    top_v = np.take_along_axis(logp, order, axis=-1)
-    top_i = order
+                              seed: int, chunk: int = 16) -> List[List[int]]:
+    """Nucleus sampling with the same chunked on-device loop as greedy —
+    the per-token host round-trip of the old top-k/host-choice form cost
+    ~30 ms each through the device tunnel, making the chat protocol
+    (do_sample=True, reference conversation.py:231-243) ~4x slower than
+    greedy; sampling on device brings it to greedy-equal latency.
 
-    generated: List[List[int]] = [[] for _ in range(b)]
-    done = [False] * b
-    temp = jnp.asarray(gen.temperature, jnp.float32)
-    for _ in range(gen.max_new_tokens):
-        nxt = _sample_from_topk(top_v, top_i, gen.top_p, rng)
-        for i in range(b):
-            if not done[i]:
-                generated[i].append(int(nxt[i]))
-                if int(nxt[i]) == gen.eos_token_id or any(
-                    _ends_with(generated[i], st) for st in gen.stop_sequences
-                ):
-                    done[i] = True
-        if all(done):
-            break
-        tv, ti, cache = _decode_step_topk_sample(
-            params, jnp.asarray(nxt, jnp.int32), cache, temp, llama_cfg, k)
-        top_v, top_i = np.asarray(tv), np.asarray(ti)
-    return generated
+    Row r draws from `fold_in(PRNGKey(seed + r), token_index)` — exactly
+    the stream the continuous batcher uses for a request with seed+r, so a
+    single-row generate() and a ContinuousBatcher request with the same
+    seed return the SAME tokens (pinned in tests/test_serving.py)."""
+    keys = jnp.asarray(np.stack([
+        np.asarray(jax.random.PRNGKey(seed + r), np.uint32)
+        for r in range(b)]))
+    temp = jnp.full((b,), gen.temperature, jnp.float32)
+    topp = jnp.full((b,), gen.top_p, jnp.float32)
+    samp = jnp.ones((b,), bool)
+    first = _first_token_mixed(
+        logits, jax.vmap(jax.random.fold_in)(keys, jnp.zeros((b,), jnp.int32)),
+        temp, topp, samp)
+    state = {"cur": first, "cache": cache, "count": 1}
+
+    def run_chunk(n):
+        toks, state["cache"] = _decode_chunk_mixed(
+            params, state["cur"], state["cache"], llama_cfg, n, keys,
+            jnp.full((b,), state["count"], jnp.int32), temp, topp, samp)
+        state["cur"] = toks[:, -1]
+        state["count"] += n
+        return toks
+
+    return _chunked_decode_loop(b, gen, first, run_chunk, chunk)
 
 
 # ---------------------------------------------------------------------------

@@ -41,7 +41,7 @@ import numpy as np
 
 from stllm_tpu.models.generation import (
     GenerationConfig, _decode_chunk_greedy, _decode_chunk_mixed, _ends_with,
-    _first_token_mixed, _pad_prompt, _prefill)
+    _first_token_sampled, _pad_prompt, _prefill)
 from stllm_tpu.models.llama import KVCache, LlamaConfig, init_kv_cache
 
 
@@ -102,8 +102,10 @@ class ContinuousBatcher:
         self.active: List[Optional[Request]] = [None] * slots
         self.queue: List[Request] = []
         self._finished: List[Request] = []
-        # per-slot sampling state (inert for greedy rows)
-        self.keys = np.zeros((slots, 2), np.uint32)
+        # per-slot sampling state (inert for greedy rows); keys live on
+        # DEVICE — they are produced there (PRNGKey inside jit) and only
+        # ever consumed there, so a host pull would be a wasted round trip
+        self.keys = jnp.zeros((slots, 2), jnp.uint32)
         self.counters = np.zeros((slots,), np.int32)
         self.temp = np.ones((slots,), np.float32)
         self.topp = np.ones((slots,), np.float32)
@@ -153,16 +155,12 @@ class ContinuousBatcher:
             self.temp[slot] = g.temperature
             self.topp[slot] = g.top_p
             self.counters[slot] = 1  # token 0 is sampled below
-            key = np.asarray(jax.random.PRNGKey(req.seed), np.uint32)
-            self.keys[slot] = key
             if g.do_sample:
-                first_key = np.asarray(
-                    jax.random.fold_in(key, 0), np.uint32)[None]
-                first = int(np.asarray(_first_token_mixed(
-                    logits, first_key,
-                    jnp.float32(g.temperature)[None],
-                    jnp.float32(g.top_p)[None],
-                    jnp.asarray([True])))[0])
+                tok, key = _first_token_sampled(
+                    logits, jnp.int32(req.seed),
+                    jnp.float32(g.temperature), jnp.float32(g.top_p))
+                self.keys = self.keys.at[slot].set(key)
+                first = int(np.asarray(tok)[0])
             else:
                 first = int(np.asarray(jnp.argmax(logits, axis=-1))[0])
             self.cur = self.cur.at[slot].set(first)
@@ -211,7 +209,7 @@ class ContinuousBatcher:
                 # nondeterministic sampled stream on the test backend).
                 toks, self.cache = _decode_chunk_mixed(
                     self.params, self.cur, self.cache, self.cfg, self.chunk,
-                    jnp.array(self.keys), jnp.array(self.counters),
+                    self.keys, jnp.array(self.counters),
                     jnp.array(self.temp), jnp.array(self.topp),
                     jnp.array(self.samp))
                 self.counters += self.chunk

@@ -242,3 +242,28 @@ class TestSampledServing:
         got = cb.run()["eos"]
         cut = toks.index(gen_eos.eos_token_id)
         assert got == toks[:cut + 1]
+
+    def test_generate_and_server_share_sampled_streams(self):
+        """generate(do_sample=True, seed=s) and a ContinuousBatcher request
+        with the same seed draw from the same fold_in(PRNGKey(seed), idx)
+        stream — identical tokens through either entry point."""
+        params = init_llama(jax.random.PRNGKey(3), CFG)
+        emb = _req(31, 7)
+        gs = GenerationConfig(max_new_tokens=15, eos_token_id=-1,
+                              stop_sequences=(), pad_to_multiple=8,
+                              do_sample=True, top_p=0.85, temperature=0.9)
+        want = generate(params, emb, llama_cfg=CFG, gen=gs, seed=11)[0]
+        assert len(want) == 15
+        cb = ContinuousBatcher(params, CFG, slots=2, max_len=48, chunk=4)
+        cb.submit("s", emb, gs, seed=11)
+        cb.submit("g", _req(32, 5),
+                  GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                                   stop_sequences=(), pad_to_multiple=8))
+        assert cb.run()["s"] == want
+        # batch rows are independent streams: row r of a b=2 generate uses
+        # seed+r, so row 0 matches the b=1 run
+        both = generate(params, jnp.concatenate([emb, emb], 0),
+                        llama_cfg=CFG, gen=gs, seed=11)
+        assert both[0] == want
+        assert both[1] == generate(params, emb, llama_cfg=CFG, gen=gs,
+                                   seed=12)[0]
