@@ -119,8 +119,11 @@ def run_from_video(one_qa_frames, cfg, n_samples=16):
     bound = max(t_decode, t_qa)
     eff = ((serial - t_overlap) / (serial - bound)
            if serial > bound else 1.0)
+    from stllm_tpu.data.video_reader import native_available
+
     return {
         "n_samples": n_samples,
+        "decoder": "native/videodec" if native_available() else "cv2-fallback",
         "decode_only_samples_per_s": round(n_samples / t_decode, 2),
         "qa_only_samples_per_s": round(n_samples / t_qa, 2),
         "overlapped_samples_per_s": round(n_samples / t_overlap, 2),

@@ -161,7 +161,12 @@ def main():
         "model": "4096-width 4-layer LLaMA + 1408-width 8-block ViT "
                  "(full matmul shapes, reduced depth), trained to emit "
                  "fixed 16-token answers",
-        "int8_stack": "W8A8 static-scale ViT + W8A8 LLaMA + int8 KV cache",
+        # the production quantize_vit_params + calibrate_vit_scales path is
+        # the headline serving stack: static activation scales AND the
+        # static-s8 qkv fused attention kernel (ops/attention.py)
+        "int8_stack": "W8A8 static-scale ViT incl. static-s8 qkv attention "
+                      "+ W8A8 LLaMA + int8 KV cache "
+                      "(the bench.py headline stack)",
     }
     result_w4 = {
         "n": N_VIDEOS,

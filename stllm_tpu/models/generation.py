@@ -118,6 +118,9 @@ def _decode_step_topk_prefix(params, token_ids, prefix: KVCache,
     return top_v, top_i.astype(jnp.int32), gen_cache
 
 
+_TOPK_PREFILTER = 128
+
+
 def _topp_next(logits, keys, temperature, top_p, sample_mask):
     """Exact nucleus (top-p) sampling, vectorized per row, ON DEVICE.
 
@@ -130,20 +133,57 @@ def _topp_next(logits, keys, temperature, top_p, sample_mask):
     select, not control flow, so XLA fuses it; reference sampling semantics:
     stllm/conversation/conversation.py:231-243 via HF do_sample/top_p).
 
+    The hot form prefilters with ``lax.top_k(k=128)`` instead of a full-vocab
+    sort (the per-step (B, 32000) f32 argsort halved mixed-traffic serving
+    throughput, 156.8 vs 315.8 tok/s, round-3 BENCH_SERVING.json): top-k
+    order equals the first k entries of the full sort (same tie rule), and
+    the kept-prob arithmetic is identical, so whenever the top-k mass reaches
+    top_p the truncated distribution is EXACT. When any sampled row's top-k
+    mass falls short (flat distribution / top_p→1), a ``lax.cond`` branch
+    runs the original full sort — and that branch still returns the
+    prefiltered result for covered rows, so a row's stream NEVER depends on
+    which branch a co-tenant forced (pinned in tests/test_serving.py).
+
     logits (B, V) f32; keys (B, 2) uint32 per-row PRNG keys; temperature,
     top_p, sample_mask (B,). Returns (B,) int32.
     """
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temperature, 1e-5)[:, None]
-    order = jnp.argsort(-scaled, axis=-1)
-    sorted_logits = jnp.take_along_axis(scaled, order, axis=-1)
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    v = scaled.shape[-1]
+    k = min(_TOPK_PREFILTER, v)
+
+    top_v, top_i = jax.lax.top_k(scaled, k)
+    lz = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
+    probs = jnp.exp(top_v - lz)                 # true softmax probs of top-k
     cum = jnp.cumsum(probs, axis=-1)
-    keep = (cum - probs) < top_p[:, None]  # first token always kept
-    masked = jnp.where(keep, sorted_logits, -jnp.inf)
+    keep = (cum - probs) < top_p[:, None]       # first token always kept
+    masked = jnp.where(keep, top_v, -jnp.inf)
     pos = jax.vmap(jax.random.categorical)(keys, masked)
-    sampled = jnp.take_along_axis(
-        order, pos[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    fast = jnp.take_along_axis(
+        top_i, pos[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+    if k == v:  # prefilter IS the full sort
+        return jnp.where(sample_mask, fast, greedy)
+
+    covered = cum[:, -1] >= top_p               # kept set ⊆ top-k
+    needs_full = jnp.any(sample_mask & ~covered)
+
+    def full_sort(_):
+        order = jnp.argsort(-scaled, axis=-1)
+        sorted_logits = jnp.take_along_axis(scaled, order, axis=-1)
+        p = jax.nn.softmax(sorted_logits, axis=-1)
+        cumf = jnp.cumsum(p, axis=-1)
+        keepf = (cumf - p) < top_p[:, None]
+        maskedf = jnp.where(keepf, sorted_logits, -jnp.inf)
+        posf = jax.vmap(jax.random.categorical)(keys, maskedf)
+        tok = jnp.take_along_axis(
+            order, posf[:, None], axis=-1)[:, 0].astype(jnp.int32)
+        # covered rows keep the prefiltered draw: branch choice is a batch-
+        # global property (a co-tenant may force it) and must not leak into
+        # any covered row's stream
+        return jnp.where(covered, fast, tok)
+
+    sampled = jax.lax.cond(needs_full, full_sort, lambda _: fast, None)
     return jnp.where(sample_mask, sampled, greedy)
 
 
@@ -358,6 +398,14 @@ def _chunked_decode_loop(b, gen: GenerationConfig, first, run_chunk,
     return generated
 
 
+@functools.partial(jax.jit, static_argnames="b")
+def _build_row_keys(seed, b: int):
+    """(b, 2) uint32 row keys PRNGKey(seed+r), built in ONE device call —
+    the eager per-row host loop this replaces paid b blocking ~30 ms tunnel
+    round-trips at the start of every sampled generate (ADVICE round 3)."""
+    return jax.vmap(jax.random.PRNGKey)(seed + jnp.arange(b, dtype=jnp.int32))
+
+
 def _generate_sample_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
                               gen: GenerationConfig, b: int,
                               seed: int, chunk: int = 16) -> List[List[int]]:
@@ -371,9 +419,7 @@ def _generate_sample_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
     the stream the continuous batcher uses for a request with seed+r, so a
     single-row generate() and a ContinuousBatcher request with the same
     seed return the SAME tokens (pinned in tests/test_serving.py)."""
-    keys = jnp.asarray(np.stack([
-        np.asarray(jax.random.PRNGKey(seed + r), np.uint32)
-        for r in range(b)]))
+    keys = _build_row_keys(jnp.int32(seed), b)
     temp = jnp.full((b,), gen.temperature, jnp.float32)
     topp = jnp.full((b,), gen.top_p, jnp.float32)
     samp = jnp.ones((b,), bool)

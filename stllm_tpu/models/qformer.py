@@ -150,8 +150,13 @@ def qformer_forward(
     q_len = query_embeds.shape[1]
 
     if input_ids is not None:
+        from stllm_tpu.ops.spmd import constrain_batched
+
         t = input_ids.shape[1]
-        tok = emb["word"][input_ids].astype(cfg.dtype)
+        # Pin the embedding-gather output to batch-over-'data' under a mesh:
+        # unconstrained, GSPMD replicate-then-repartitions this gather
+        # ("Involuntary full rematerialization" in the sharded train step).
+        tok = constrain_batched(emb["word"][input_ids].astype(cfg.dtype))
         pos = emb["position"][jnp.arange(t)][None].astype(cfg.dtype)
         x = jnp.concatenate([query_embeds, tok + pos], axis=1)
         if attention_mask is None:

@@ -86,3 +86,20 @@ def shard_batched(fn, *args):
         fn, mesh=mesh, in_specs=tuple(in_spec(a) for a in args),
         out_specs=out_specs, check_vma=False,
     )(*args)
+
+
+def constrain_batched(x: jax.Array) -> jax.Array:
+    """Pin ``x`` (batched on dim 0, replicated elsewhere) to the active
+    kernel mesh with a ``with_sharding_constraint``; no-op without a mesh.
+
+    Used where GSPMD's propagation picks a pathological sharding — e.g. the
+    Q-Former word-embedding gather in the sharded train step, where the
+    partitioner warned "Involuntary full rematerialization" (replicate-then-
+    repartition of the gather result) until the output sharding was pinned.
+    """
+    mesh, axes = _get()
+    if mesh is None:
+        return x
+    spec = P(tuple(axes), *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(
+        x, jax.sharding.NamedSharding(mesh, spec))

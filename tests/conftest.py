@@ -18,3 +18,24 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def pytest_configure(config):
+    """Auto-build native/videodec when a toolchain is present, so the 6
+    native-decoder tests run for real on a fresh checkout instead of
+    silently skipping (the cmake build takes ~10 s)."""
+    import shutil
+    import subprocess
+
+    repo = Path(__file__).resolve().parent.parent
+    so = repo / "native" / "videodec" / "build" / "libvideodec.so"
+    if so.exists():
+        return
+    if shutil.which("cmake") is None or shutil.which("c++") is None:
+        return
+    try:
+        subprocess.run(
+            ["bash", str(repo / "script" / "build_native.sh")],
+            check=True, capture_output=True, timeout=300)
+    except (subprocess.SubprocessError, OSError) as e:  # missing ffmpeg devel etc.
+        sys.stderr.write(f"[conftest] native videodec build skipped: {e}\n")

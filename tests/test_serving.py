@@ -243,6 +243,52 @@ class TestSampledServing:
         cut = toks.index(gen_eos.eos_token_id)
         assert got == toks[:cut + 1]
 
+    def test_topk_prefilter_exact_and_branch_independent(self):
+        """V > 128 exercises the top-k prefiltered form: samples stay inside
+        the EXACT host nucleus on both the fast path (top-k mass covers
+        top_p) and the full-sort fallback (flat rows), and a covered row's
+        draw is identical whether or not a co-tenant forces the fallback."""
+        from stllm_tpu.models.generation import _TOPK_PREFILTER, _topp_next
+
+        v = 512
+        assert v > _TOPK_PREFILTER
+        rng = np.random.default_rng(1)
+        peaked = rng.normal(size=(v,)) * 4.0        # nucleus ≪ 128 tokens
+        flat = rng.normal(size=(v,)) * 0.01         # needs the full sort
+        logits = jnp.asarray(np.stack([peaked, flat]), jnp.float32)
+        temp = jnp.ones((2,), jnp.float32)
+        topp = jnp.asarray([0.9, 0.9], jnp.float32)
+
+        # host nucleus (float64, the _sample_top_p rule) per row
+        nucleus = []
+        for row in np.asarray(logits, np.float64):
+            p = np.exp(row - row.max())
+            p /= p.sum()
+            order = np.argsort(-p)
+            keep = np.cumsum(p[order]) - p[order] < 0.9
+            nucleus.append(set(int(t) for t in order[keep]))
+        assert len(nucleus[0]) < _TOPK_PREFILTER      # row 0: fast path
+        assert len(nucleus[1]) > _TOPK_PREFILTER      # row 1: fallback
+
+        both = jnp.ones((2,), bool)
+        for s in range(40):
+            keys = jnp.tile(
+                jnp.asarray(jax.random.PRNGKey(500 + s))[None], (2, 1))
+            out = np.asarray(_topp_next(logits, keys, temp, topp, both))
+            assert int(out[0]) in nucleus[0]
+            assert int(out[1]) in nucleus[1]
+
+        # covered row alone (fast branch) vs next to a flat co-tenant
+        # (fallback branch): identical draw, key by key
+        for s in range(20):
+            key = jnp.asarray(jax.random.PRNGKey(900 + s))
+            solo = np.asarray(_topp_next(
+                logits[:1], key[None], temp[:1], topp[:1], both[:1]))[0]
+            mixed = np.asarray(_topp_next(
+                logits, jnp.stack([key, jnp.asarray(
+                    jax.random.PRNGKey(33))]), temp, topp, both))[0]
+            assert int(solo) == int(mixed), s
+
     def test_generate_and_server_share_sampled_streams(self):
         """generate(do_sample=True, seed=s) and a ContinuousBatcher request
         with the same seed draw from the same fold_in(PRNGKey(seed), idx)
