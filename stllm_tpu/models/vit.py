@@ -63,6 +63,12 @@ class ViTConfig:
     # expensive transcendental on the VPU); numerics differ from the torch
     # reference's exact GELU at ~1e-3 relative, so parity tests keep False.
     gelu_approx: bool = False
+    # Staged token merging (ops/tome.py): ((block_idx, tokens_after), ...)
+    # applied BEFORE the given block — e.g. ((13, 193), (26, 145)) runs
+    # blocks 0-12 at 257 tokens, 13-25 at 193, 26-38 at 145. () = off.
+    # FLOP-reduction lever past the int8 roofline wall; accuracy envelope in
+    # TOME_EQUIV.json (script/tome_equivalence.py).
+    merge_schedule: tuple = ()
 
     @property
     def head_dim(self) -> int:
@@ -427,26 +433,42 @@ def vit_block(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
     return x + h
 
 
-def vit_forward(params: Dict, images: jax.Array, cfg: ViTConfig) -> jax.Array:
-    """images: (B, H, W, C) normalized. Returns (B, 257, width) tokens."""
+def vit_forward(params: Dict, images: jax.Array, cfg: ViTConfig, *,
+                return_merge_origin: bool = False) -> jax.Array:
+    """images: (B, H, W, C) normalized. Returns (B, 257, width) tokens —
+    or (B, m, width) under cfg.merge_schedule (staged token merging,
+    ops/tome.py). ``return_merge_origin=True`` additionally returns the
+    (B, 257) origin map for unmerging (None when merging is off)."""
     x = patchify(images.astype(cfg.dtype), cfg.patch_size)
     x = linear(params["patch_embed"], x)
     cls = jnp.broadcast_to(params["cls_token"], (x.shape[0], 1, cfg.width)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)
     x = x + params["pos_embed"].astype(x.dtype)
 
+    schedule = dict(cfg.merge_schedule)
+    origin = None
+    if schedule:
+        from stllm_tpu.ops.tome import bipartite_merge, init_merge_state
+
+        sizes, origin = init_merge_state(x.shape[0], x.shape[1])
+
     blocks = params["blocks"]
-    if (FUSED_LN and not cfg.remat and blocks
+    if (FUSED_LN and not cfg.remat and not schedule and blocks
             and all("act_scales" in bl for bl in blocks)):
         fused = _vit_blocks_fused_static(blocks, x, cfg)
         if fused is not None:
-            return fused
+            return (fused, None) if return_merge_origin else fused
     block_fn = vit_block
     if cfg.remat:
         block_fn = jax.checkpoint(vit_block, static_argnums=(2,))
-    for block in blocks:
+    for i, block in enumerate(blocks):
+        if i in schedule:
+            x, sizes, origin = bipartite_merge(x, sizes, origin, schedule[i])
         x = block_fn(block, x, cfg)
-    return x
+    if len(blocks) in schedule:  # post-trunk merge (feeds Q-Former fewer tokens)
+        x, sizes, origin = bipartite_merge(x, sizes, origin,
+                                           schedule[len(blocks)])
+    return (x, origin) if return_merge_origin else x
 
 
 def interpolate_pos_embed(pos_embed: jax.Array, new_num_patches: int) -> jax.Array:

@@ -1,0 +1,173 @@
+"""Token merging (ops/tome.py): bipartite-match semantics vs a plain numpy
+oracle, origin-map/unmerge correctness, and the staged schedule through
+vit_forward + encode_img."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stllm_tpu.ops.tome import bipartite_merge, init_merge_state, unmerge
+
+
+def _oracle_merge(x, sizes, m):
+    """Loop-based reference of one merge stage. Returns (x', sizes',
+    new_of_old) where new_of_old maps pre-merge index -> post-merge index."""
+    b, n, d = x.shape
+    r = n - m
+    out_x, out_s, out_map = [], [], []
+    for row in range(b):
+        xr = x[row].astype(np.float64)
+        sr = sizes[row].astype(np.float64)
+        a_idx = list(range(1, n, 2))
+        b_idx = list(range(0, n, 2))
+        met = xr / np.maximum(np.linalg.norm(xr, axis=-1, keepdims=True), 1e-6)
+        scores = met[a_idx] @ met[b_idx].T
+        scores[:, 0] = -np.inf                       # CLS protected
+        best_dst = scores.argmax(axis=1)
+        best_val = scores.max(axis=1)
+        merge_rank = np.argsort(-best_val, kind="stable")[:r]
+        picked = set(int(i) for i in merge_rank)
+
+        nb = len(b_idx)
+        new_x = xr[b_idx].copy()
+        new_s = sr[b_idx].copy()
+        # accumulate merged mass, then average
+        acc = np.zeros_like(new_x)
+        accs = np.zeros(nb)
+        for k in picked:
+            acc[best_dst[k]] += xr[a_idx[k]] * sr[a_idx[k]]
+            accs[best_dst[k]] += sr[a_idx[k]]
+        tot = new_s + accs
+        new_x = (new_x * new_s[:, None] + acc) / tot[:, None]
+        new_s = tot
+
+        keep = [k for k in range(len(a_idx)) if k not in picked]
+        new_of_old = np.zeros(n, np.int64)
+        for j, bi in enumerate(b_idx):
+            new_of_old[bi] = j
+        for rank, k in enumerate(keep):
+            new_of_old[a_idx[k]] = nb + rank
+        surv_x = (np.stack([xr[a_idx[k]] for k in keep]) if keep
+                  else np.zeros((0, d)))
+        surv_s = np.array([sr[a_idx[k]] for k in keep])
+        new_x = np.concatenate([new_x, surv_x])
+        new_s = np.concatenate([new_s, surv_s])
+        for k in picked:
+            new_of_old[a_idx[k]] = best_dst[k]
+        out_x.append(new_x)
+        out_s.append(new_s)
+        out_map.append(new_of_old)
+    return np.stack(out_x), np.stack(out_s), np.stack(out_map)
+
+
+class TestBipartiteMerge:
+    def test_matches_numpy_oracle(self):
+        rng = np.random.default_rng(0)
+        b, n, d, m = 3, 17, 8, 12
+        x = rng.normal(size=(b, n, d)).astype(np.float32)
+        sizes, origin = init_merge_state(b, n)
+        got_x, got_s, got_o = bipartite_merge(
+            jnp.asarray(x), sizes, origin, m)
+        want_x, want_s, want_map = _oracle_merge(x, np.ones((b, n)), m)
+        assert got_x.shape == (b, m, d)
+        np.testing.assert_allclose(np.asarray(got_x), want_x, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_s), want_s, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got_o), want_map)
+
+    def test_duplicates_merge_and_unmerge_restores(self):
+        rng = np.random.default_rng(1)
+        b, n, d = 2, 9, 6
+        x = rng.normal(size=(b, n, d)).astype(np.float32) * 3
+        # plant exact duplicates: odd token 3 == even token 4 (per row)
+        x[:, 3] = x[:, 4]
+        sizes, origin = init_merge_state(b, n)
+        out, s, o = bipartite_merge(jnp.asarray(x), sizes, origin, n - 1)
+        o = np.asarray(o)
+        # the duplicate pair collapsed: both old positions map to one token
+        assert (o[:, 3] == o[:, 4]).all()
+        merged = np.asarray(out)
+        np.testing.assert_allclose(
+            merged[np.arange(b), o[:, 3]], x[:, 3], atol=1e-5)
+        # mass is conserved
+        np.testing.assert_allclose(np.asarray(s).sum(axis=1), n, atol=1e-5)
+        # unmerge: every original position reads its representative
+        rec = np.asarray(unmerge(out, jnp.asarray(o)))
+        assert rec.shape == (b, n, d)
+        np.testing.assert_allclose(rec[:, 3], x[:, 3], atol=1e-5)
+        np.testing.assert_allclose(rec[:, 4], x[:, 4], atol=1e-5)
+
+    def test_cls_never_merged_into(self):
+        rng = np.random.default_rng(2)
+        b, n, d = 2, 11, 4
+        x = rng.normal(size=(b, n, d)).astype(np.float32)
+        x[:, 5] = x[:, 0]  # odd token identical to CLS — still must not merge
+        sizes, origin = init_merge_state(b, n)
+        out, s, o = bipartite_merge(jnp.asarray(x), sizes, origin, n - 5)
+        # CLS survives untouched at index 0 with size 1
+        np.testing.assert_allclose(np.asarray(out)[:, 0], x[:, 0], atol=1e-6)
+        assert (np.asarray(s)[:, 0] == 1.0).all()
+        assert (np.asarray(o)[:, 0] == 0).all()
+
+    def test_two_stages_compose_origin(self):
+        rng = np.random.default_rng(3)
+        b, n, d = 2, 21, 5
+        x = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+        sizes, origin = init_merge_state(b, n)
+        x1, s1, o1 = bipartite_merge(x, sizes, origin, 15)
+        x2, s2, o2 = bipartite_merge(x1, s1, o1, 10)
+        assert x2.shape == (b, 10, d)
+        assert np.asarray(o2).max() < 10 and np.asarray(o2).min() >= 0
+        np.testing.assert_allclose(np.asarray(s2).sum(axis=1), n, atol=1e-4)
+        # unmerge through the composed map returns one of the 10 survivors
+        rec = np.asarray(unmerge(x2, o2))
+        assert rec.shape == (b, n, d)
+
+
+class TestViTMergeSchedule:
+    def _cfg(self, **kw):
+        from stllm_tpu.models.vit import ViTConfig
+
+        return ViTConfig(image_size=28, patch_size=14, width=32, depth=4,
+                         heads=4, mlp_hidden=64, dtype=jnp.float32,
+                         use_flash=False, **kw)
+
+    def test_forward_shapes_and_origin(self):
+        from stllm_tpu.models.vit import init_vit, vit_forward
+
+        cfg = self._cfg(merge_schedule=((2, 4),))
+        params = init_vit(jax.random.PRNGKey(0), cfg)
+        imgs = jax.random.normal(jax.random.PRNGKey(1), (3, 28, 28, 3))
+        out, origin = vit_forward(params, imgs, cfg, return_merge_origin=True)
+        assert out.shape == (3, 4, 32)
+        assert origin.shape == (3, 5)   # 4 patches + CLS originally
+        assert np.isfinite(np.asarray(out)).all()
+        # blocks 0-1 match the unmerged forward exactly (merge is at 2)
+        base = vit_forward(params, imgs, dataclasses.replace(
+            cfg, merge_schedule=()))
+        assert base.shape == (3, 5, 32)
+
+    def test_encode_img_with_merging(self):
+        from stllm_tpu.models.llama import LlamaConfig
+        from stllm_tpu.models.qformer import QFormerConfig
+        from stllm_tpu.models.stllm import (
+            STLLMConfig, encode_img, init_stllm)
+
+        cfg = STLLMConfig(
+            vit=self._cfg(merge_schedule=((2, 4),)),
+            qformer=QFormerConfig(hidden=16, num_layers=2, heads=2,
+                                  intermediate=32, encoder_width=32,
+                                  num_query=4, vocab_size=64,
+                                  dtype=jnp.float32),
+            llama=LlamaConfig(vocab_size=64, hidden=24, num_layers=1,
+                              heads=2, intermediate=48, max_positions=64,
+                              dtype=jnp.float32),
+        )
+        params = init_stllm(jax.random.PRNGKey(0), cfg,
+                            init_llama_params=False)
+        params.pop("llama")
+        frames = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 28, 28, 3))
+        out = encode_img(params, frames, cfg)
+        assert out.shape == (1, 2, 4, 24)   # (B, T, num_query, llama hidden)
+        assert np.isfinite(np.asarray(out)).all()
