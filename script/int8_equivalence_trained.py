@@ -142,6 +142,17 @@ def main():
     params["llama"] = quantize_llama_params(params["llama"], free_dense=True)
 
     int8_answers = [greedy_answer(params, s, cfg_q) for s in data]
+
+    # token-merging arm on the SAME trained int8 stack: isolates what the
+    # staged merge (ops/tome.py) does to a trained model's answers. The
+    # trunk here is 8 blocks, so the 39-block "medium" schedule
+    # ((13,160),(26,96)) maps to the same thirds: ((3,160),(6,96)). Frames
+    # are iid noise — the adversarial case for merging (no redundancy).
+    sched = ((3, 160), (6, 96))
+    cfg_tome = dataclasses.replace(
+        cfg_q, vit=dataclasses.replace(cfg_q.vit, merge_schedule=sched))
+    tome_answers = [greedy_answer(params, s, cfg_tome) for s in data]
+
     params["llama"] = llama_w4
     w4_answers = [greedy_answer(params, s, cfg_q) for s in data]
 
@@ -152,6 +163,8 @@ def main():
 
     first8, exact8 = grade(int8_answers)
     first4, exact4 = grade(w4_answers)
+    firstt = sum(a[0] == b[0] for a, b in zip(int8_answers, tome_answers))
+    exactt = sum(a == b for a, b in zip(int8_answers, tome_answers))
     result = {
         "n": N_VIDEOS,
         "train_steps": steps,
@@ -175,8 +188,18 @@ def main():
         "w4_stack": "W8A8 static-scale ViT + W4A16 per-channel LLaMA "
                     "(production Pallas decode kernel) + int8 KV cache",
     }
+    result_tome = {
+        "n": N_VIDEOS,
+        "first_token_match_vs_int8": firstt / N_VIDEOS,
+        "exact_16_match_vs_int8": exactt / N_VIDEOS,
+        "merge_schedule_8_blocks": [list(x) for x in sched],
+        "note": "medium token-merge level on the trained int8 stack, iid-"
+                "noise frames (the adversarial case: zero redundancy); "
+                "random-weight video-frame envelope in TOME_EQUIV.json",
+    }
     print(json.dumps(result))
     print(json.dumps(result_w4))
+    print(json.dumps(result_tome))
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "EQUIV_INT8.json")
@@ -187,6 +210,13 @@ def main():
         doc = {}
     doc["trained_model"] = result
     doc["trained_model_w4a16"] = result_w4
+    # the merged arm also lands in TOME_EQUIV.json next to the random-
+    # weight envelope it complements
+    tpath = os.path.join(os.path.dirname(path), "TOME_EQUIV.json")
+    tdoc = json.load(open(tpath)) if os.path.exists(tpath) else {}
+    tdoc["trained_model_medium"] = result_tome
+    with open(tpath, "w") as f:
+        json.dump(tdoc, f, indent=1)
     with open(path, "w") as f:
         json.dump(doc, f, indent=1)
 

@@ -341,3 +341,52 @@ class Chat:
         text = text.split("Assistant:")[-1].strip()
         conv.messages[-1][1] = text
         return text, np.asarray(tokens)
+
+    def answer_batched(self, convs: List[Conversation], img_lists: List[List],
+                       max_new_tokens: int = 300, num_beams: int = 5,
+                       min_length: int = 1, length_penalty: float = 1.0,
+                       system: bool = True,
+                       max_length: int = 2000) -> List[str]:
+        """Batched-eval beam answers: P conversations advance k beams each
+        in ONE device program (generation.beam_search_batched — prefix KV
+        stored once per video). Per-conversation output is token-identical
+        to answer(num_beams=k, do_sample=False) run alone; the reference
+        protocol this accelerates runs one video at a time (reference:
+        stllm/test/qabench/msvd_qa.py:108-115). Simple-prompt conversations
+        (instruction=False, the qabench protocol) get the reference's forced
+        repetition_penalty=1.5 (conversation.py:220) — the device beam
+        applies it per beam (generation._penalize_logp). Mixed
+        simple/template groups are rejected (one penalty per program)."""
+        from stllm_tpu.models.generation import (
+            GenerationConfig, beam_search_batched)
+
+        modes = {bool(c.instruction) for c in convs}
+        assert len(modes) == 1, "mixed simple/template conversations"
+        simple = not modes.pop()
+        embs_list = []
+        for conv, img_list in zip(convs, img_lists):
+            conv.append_message(conv.roles[1], None)
+            embs = (self.get_context_emb_sim(conv, img_list, system=system)
+                    if simple else self.get_context_emb(conv, img_list))
+            begin_idx = max(0, embs.shape[1] + max_new_tokens - max_length)
+            embs_list.append(embs[:, begin_idx:])
+        gen = GenerationConfig(
+            max_new_tokens=max_new_tokens, min_length=min_length,
+            do_sample=False, num_beams=num_beams,
+            repetition_penalty=1.5 if simple else 1.0,
+            length_penalty=length_penalty)
+        outs = beam_search_batched(self.params["llama"], embs_list,
+                                   llama_cfg=self.cfg.llama, gen=gen)
+        texts = []
+        for conv, tokens in zip(convs, outs):
+            tokens = list(tokens)
+            if tokens and tokens[0] == 0:
+                tokens = tokens[1:]
+            if tokens and tokens[0] == 1:
+                tokens = tokens[1:]
+            text = self.llama_tokenizer.decode(tokens)
+            text = text.split("###")[0]
+            text = text.split("Assistant:")[-1].strip()
+            conv.messages[-1][1] = text
+            texts.append(text)
+        return texts

@@ -42,6 +42,24 @@ def _answer(chat, conv_template, video_path: str, question: str,
     return text
 
 
+def _answer_group(chat, conv_template, items, num_frames: int,
+                  num_beams: int, max_new_tokens: int = 300) -> List[str]:
+    """Batched-eval beam answers for [(video_path, question), ...]: encode
+    each video, then advance all groups' beams in ONE device program
+    (Chat.answer_batched / generation.beam_search_batched). Token-identical
+    per item to the sequential _answer path."""
+    convs, img_lists = [], []
+    for path, question in items:
+        conv = conv_template.copy()
+        img_list: List = []
+        chat.upload_video(path, conv, img_list, num_frames, question)
+        chat.ask(question, conv)
+        convs.append(conv)
+        img_lists.append(img_list)
+    return chat.answer_batched(convs, img_lists, num_beams=num_beams,
+                               max_new_tokens=max_new_tokens, system=False)
+
+
 def run_videoqa(
     chat,
     conv_template,
@@ -52,13 +70,33 @@ def run_videoqa(
     num_frames: int = 64,
     num_beams: int = 5,
     verbose: bool = True,
+    batch_videos: int = 1,
 ) -> List[Dict]:
     """MSVD/MSRVTT/ActivityNet zero-shot QA: dump {id, question, answer, pred}
-    (reference: msvd_qa.py:94-123; answer() called with system=False)."""
+    (reference: msvd_qa.py:94-123; answer() called with system=False).
+
+    ``batch_videos > 1`` groups that many videos per beam-search program
+    (answers unchanged — tests pin batched == solo beams); the reference
+    protocol decodes one video at a time."""
     with open(gt_file) as f:
         gt = json.load(f)
     os.makedirs(output_dir, exist_ok=True)
     out: List[Dict] = []
+    pending: List[Dict] = []
+
+    def flush():
+        preds = _answer_group(
+            chat, conv_template,
+            [(r["_path"], r["question"]) for r in pending],
+            num_frames, num_beams)
+        for rec, pred in zip(pending, preds):
+            rec.pop("_path")
+            rec["pred"] = pred
+            out.append(rec)
+            if verbose:
+                print(f"[{len(out)}/{len(gt)}] {rec['id']}: {pred!r}")
+        pending.clear()
+
     for sample in gt:
         video_name = sample.get("video_name", sample.get("video"))
         qid = sample.get("question_id", sample.get("id"))
@@ -69,11 +107,19 @@ def run_videoqa(
             if verbose:
                 print(f"missing video {video_name}, skipped")
             continue
+        if batch_videos > 1:
+            rec["_path"] = path
+            pending.append(rec)
+            if len(pending) == batch_videos:
+                flush()
+            continue
         rec["pred"] = _answer(chat, conv_template, path, question, num_frames,
                               system=False, num_beams=num_beams)
         out.append(rec)
         if verbose:
             print(f"[{len(out)}/{len(gt)}] {qid}: {rec['pred']!r}")
+    if pending:
+        flush()
     with open(os.path.join(output_dir, f"{output_name}.json"), "w") as f:
         json.dump(out, f)
     return out
@@ -165,6 +211,10 @@ def main():
     parser.add_argument("--output_name", required=True)
     parser.add_argument("--num-frames", type=int, default=64)
     parser.add_argument("--num-beams", type=int, default=5)
+    parser.add_argument(
+        "--batch-videos", type=int, default=1,
+        help="videoqa only: beam-decode this many videos per device program "
+             "(answers identical to --batch-videos 1)")
     parser.add_argument("--options", nargs="+", default=None)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
@@ -196,8 +246,12 @@ def main():
             else CONV_VIDEO_Vicuna0)
     run = {"videoqa": run_videoqa, "vcg_general": run_vcgbench_general,
            "vcg_consistency": run_vcgbench_consistency}[args.bench]
+    kw = {}
+    if args.bench == "videoqa" and args.batch_videos > 1:
+        kw["batch_videos"] = args.batch_videos
     run(chat, conv, args.gt_file, args.video_dir, args.output_dir,
-        args.output_name, num_frames=args.num_frames, num_beams=args.num_beams)
+        args.output_name, num_frames=args.num_frames,
+        num_beams=args.num_beams, **kw)
 
 
 if __name__ == "__main__":

@@ -121,6 +121,21 @@ def _decode_step_topk_prefix(params, token_ids, prefix: KVCache,
 _TOPK_PREFILTER = 128
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def _decode_step_logp_prefix(params, token_ids, prefix: KVCache,
+                             gen_cache: KVCache, reorder, cfg: LlamaConfig):
+    """Full-logprob variant of _decode_step_topk_prefix for the host beam
+    loop's penalized form (the repetition penalty reshuffles ranks, so a
+    fixed device top-k can't be pre-taken)."""
+    from stllm_tpu.models.llama import llama_decode_prefix
+
+    gen_cache = _reorder_cache(gen_cache, reorder)
+    embeds = params["embed_tokens"][token_ids][:, None].astype(cfg.dtype)
+    hidden, gen_cache = llama_decode_prefix(params, embeds, prefix, gen_cache, cfg)
+    logits = lm_head(params, hidden)[:, 0]
+    return jax.nn.log_softmax(logits, axis=-1), gen_cache
+
+
 def _topp_next(logits, keys, temperature, top_p, sample_mask):
     """Exact nucleus (top-p) sampling, vectorized per row, ON DEVICE.
 
@@ -468,6 +483,7 @@ class _BeamProto(NamedTuple):
     stops2: Tuple[Tuple[int, int], ...]  # two-token stop suffixes
     min_length: int
     length_penalty: float
+    rep_penalty: float = 1.0
 
     @staticmethod
     def from_gen(gen: "GenerationConfig") -> "_BeamProto":
@@ -477,12 +493,31 @@ class _BeamProto(NamedTuple):
             stops2=tuple(tuple(s) for s in gen.stop_sequences if len(s) == 2),
             min_length=gen.min_length,
             length_penalty=gen.length_penalty,
+            rep_penalty=gen.repetition_penalty,
         )
 
 
 def beam_device_supported(gen: "GenerationConfig") -> bool:
-    return (gen.repetition_penalty == 1.0
-            and all(len(s) <= 2 for s in gen.stop_sequences))
+    return all(len(s) <= 2 for s in gen.stop_sequences)
+
+
+def _penalize_logp(logp: jax.Array, seen: jax.Array, pen: float) -> jax.Array:
+    """HF beam-mode repetition penalty: applied to the LOG-SOFTMAXED scores
+    (transformers beam_search applies logits processors after log_softmax —
+    unlike greedy/sampling, where they act on raw logits), per beam, over
+    that beam's generated tokens. The reference's simple-prompt chat mode
+    forces repetition_penalty=1.5 into beam answers
+    (reference: stllm/conversation/conversation.py:220, 240) — qabench and
+    vcgbench run that protocol, so beam parity requires this."""
+    return jnp.where(seen, jnp.where(logp < 0, logp * pen, logp / pen), logp)
+
+
+def _update_seen(seen: jax.Array, parents: jax.Array,
+                 tokens: jax.Array) -> jax.Array:
+    """seen (k, V) bool: new beam rows inherit their parent's token set plus
+    their own new token."""
+    k = parents.shape[0]
+    return seen[parents].at[jnp.arange(k), tokens].set(True)
 
 
 class _BeamState(NamedTuple):
@@ -586,35 +621,42 @@ _beam_first_step = functools.partial(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "proto", "k", "chunk"),
-    donate_argnums=(3,),
+    donate_argnums=(2, 4),
 )
-def _beam_chunk_device(params, state: _BeamState, prefix: KVCache,
-                       gen_cache: KVCache, cfg: LlamaConfig,
+def _beam_chunk_device(params, state: _BeamState, seen: jax.Array,
+                       prefix: KVCache, gen_cache: KVCache, cfg: LlamaConfig,
                        proto: _BeamProto, k: int, chunk: int):
     """Run ``chunk`` full beam steps on device. Steps after termination
     (pool full / no survivors) still execute but are masked: the state
-    freezes and the per-step ``alive`` flag marks their records invalid."""
+    freezes and the per-step ``alive`` flag marks their records invalid.
+    ``seen`` is the (k, V) per-beam generated-token set feeding the
+    HF-beam-mode repetition penalty (_penalize_logp)."""
     from stllm_tpu.models.llama import llama_decode_prefix
 
     def body(carry, _):
-        state, cache = carry
+        state, seen, cache = carry
         alive = (state.fin_count < k) & ~state.no_survivors
         cache = _reorder_cache(cache, state.reorder)
         embeds = params["embed_tokens"][state.last_token][:, None].astype(cfg.dtype)
         hidden, cache = llama_decode_prefix(params, embeds, prefix, cache, cfg)
         logits = lm_head(params, hidden)[:, 0]
         logp = jax.nn.log_softmax(logits, axis=-1)
+        if proto.rep_penalty != 1.0:
+            logp = _penalize_logp(logp, seen, proto.rep_penalty)
         top_v, top_i = jax.lax.top_k(logp, 2 * k)
         new_state, record = _beam_transition(
             state, top_v, top_i.astype(jnp.int32), proto, k)
+        new_seen = _update_seen(seen, new_state.reorder,
+                                new_state.last_token)
         new_state = jax.tree_util.tree_map(
             lambda n, o: jnp.where(alive, n, o), new_state, state)
+        new_seen = jnp.where(alive, new_seen, seen)
         record["alive"] = alive
-        return (new_state, cache), record
+        return (new_state, new_seen, cache), record
 
-    (state, gen_cache), records = jax.lax.scan(
-        body, (state, gen_cache), None, length=chunk)
-    return state, gen_cache, records
+    (state, seen, gen_cache), records = jax.lax.scan(
+        body, (state, seen, gen_cache), None, length=chunk)
+    return state, seen, gen_cache, records
 
 
 def _beam_search_ondevice(params, embeds, mask, *, llama_cfg: LlamaConfig,
@@ -649,6 +691,8 @@ def _beam_search_ondevice(params, embeds, mask, *, llama_cfg: LlamaConfig,
     )
     state, rec0 = _beam_first_step(
         state0, jnp.asarray(top_v), jnp.asarray(top_i, jnp.int32), proto, k)
+    seen = jnp.zeros((k, llama_cfg.vocab_size), bool).at[
+        jnp.arange(k), state.last_token].set(True)
 
     parents = [np.asarray(rec0["parent"])]
     tokens = [np.asarray(rec0["token"])]
@@ -656,8 +700,8 @@ def _beam_search_ondevice(params, embeds, mask, *, llama_cfg: LlamaConfig,
     while (emitted < gen.max_new_tokens
            and int(state.fin_count) < k and not bool(state.no_survivors)):
         n = min(chunk, gen.max_new_tokens - emitted)
-        state, gen_cache, records = _beam_chunk_device(
-            params, state, prefix, gen_cache, llama_cfg, proto, k, n)
+        state, seen, gen_cache, records = _beam_chunk_device(
+            params, state, seen, prefix, gen_cache, llama_cfg, proto, k, n)
         alive = np.asarray(records["alive"])
         rp, rt = np.asarray(records["parent"]), np.asarray(records["token"])
         for i in range(n):
@@ -703,6 +747,185 @@ def _beam_search_ondevice(params, embeds, mask, *, llama_cfg: LlamaConfig,
 
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "proto", "k", "chunk"),
+    donate_argnums=(2, 4),
+)
+def _beam_chunk_device_grouped(params, state: _BeamState, seen: jax.Array,
+                               prefix: KVCache,
+                               gen_cache: KVCache, cfg: LlamaConfig,
+                               proto: _BeamProto, k: int, chunk: int):
+    """Grouped form of _beam_chunk_device: every _BeamState field carries a
+    leading P (video) axis, the gen cache holds P*k rows, and the decode
+    rides the grouped llama_decode_prefix (prefix KV once per video). One
+    program advances P independent beam searches ``chunk`` steps — the
+    batched-eval path for the beam-5 VideoQA protocol (reference:
+    stllm/test/qabench/msvd_qa.py:108-115, one video at a time there)."""
+    from stllm_tpu.models.llama import llama_decode_prefix
+
+    p = state.scores.shape[0]
+    step_fn = jax.vmap(lambda st, tv, ti: _beam_transition(st, tv, ti,
+                                                           proto, k))
+    offs = (jnp.arange(p, dtype=jnp.int32) * k)[:, None]
+
+    def body(carry, _):
+        state, seen, cache = carry
+        alive = (state.fin_count < k) & ~state.no_survivors          # (P,)
+        cache = _reorder_cache(cache, (state.reorder + offs).reshape(-1))
+        embeds = params["embed_tokens"][
+            state.last_token.reshape(-1)][:, None].astype(cfg.dtype)
+        hidden, cache = llama_decode_prefix(params, embeds, prefix, cache,
+                                            cfg)
+        logits = lm_head(params, hidden)[:, 0]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        if proto.rep_penalty != 1.0:
+            logp = _penalize_logp(
+                logp.reshape(p, k, -1), seen, proto.rep_penalty
+            ).reshape(p * k, -1)
+        top_v, top_i = jax.lax.top_k(logp, 2 * k)
+        new_state, record = step_fn(
+            state, top_v.reshape(p, k, 2 * k),
+            top_i.reshape(p, k, 2 * k).astype(jnp.int32))
+        new_seen = jax.vmap(_update_seen)(seen, new_state.reorder,
+                                          new_state.last_token)
+        new_state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(
+                alive.reshape((p,) + (1,) * (n.ndim - 1)), n, o),
+            new_state, state)
+        new_seen = jnp.where(alive[:, None, None], new_seen, seen)
+        record["alive"] = alive
+        return (new_state, new_seen, cache), record
+
+    (state, seen, gen_cache), records = jax.lax.scan(
+        body, (state, seen, gen_cache), None, length=chunk)
+    return state, seen, gen_cache, records
+
+
+def beam_search_batched(
+    params,
+    prompts: List[jax.Array],   # each (1, S_i, d)
+    *,
+    llama_cfg: LlamaConfig,
+    gen: GenerationConfig,
+    chunk: int = 16,
+) -> List[List[int]]:
+    """Beam search over P prompts in ONE device program (P videos x k beams
+    per decode step) — the batched-eval form of ``beam_search`` for the
+    beam-5 VideoQA/VcgBench protocol. Per-prompt output is token-identical
+    to ``beam_search`` run alone (tests/test_llama.py pins it): prompts are
+    right-padded to a common bucket, each video keeps its own prefix cache
+    row and beam state, and finished videos freeze (masked) until the
+    slowest one ends."""
+    assert beam_device_supported(gen), "batched beam is device-form only"
+    k = gen.num_beams
+    p = len(prompts)
+    proto = _BeamProto.from_gen(gen)
+
+    s_max = max(e.shape[1] for e in prompts)
+    s_max = s_max + (-s_max) % gen.pad_to_multiple
+    embeds = jnp.concatenate(
+        [jnp.pad(e, ((0, 0), (0, s_max - e.shape[1]), (0, 0)))
+         for e in prompts], axis=0)
+    mask = jnp.asarray(np.stack(
+        [np.arange(s_max) < e.shape[1] for e in prompts]).astype(np.int32))
+    logits, prefix = _prefill(params, embeds, mask, llama_cfg, s_max)
+    gen_cache = init_kv_cache(llama_cfg, p * k, gen.max_new_tokens)
+
+    # first transition (host, as in the single-prompt path): per-video top-2k
+    # of the prefill logits with beams 1..k-1 at -1e9
+    lg = np.array(logits, np.float32)
+    logp0 = lg - np.log(np.exp(lg - lg.max(-1, keepdims=True)
+                               ).sum(-1, keepdims=True)) - lg.max(-1, keepdims=True)
+    order = np.argsort(-logp0, axis=-1)[:, : 2 * k]            # (P, 2k)
+    init_scores = np.full((p, k), -1e9, np.float32)
+    init_scores[:, 0] = 0.0
+    top_v = np.repeat(np.take_along_axis(logp0, order, -1)[:, None], k, 1)
+    top_i = np.repeat(order[:, None], k, 1)                    # (P, k, 2k)
+    state0 = _BeamState(
+        scores=jnp.asarray(init_scores),
+        last_token=jnp.zeros((p, k), jnp.int32),
+        reorder=jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32), (p, k)),
+        step=jnp.zeros((p,), jnp.int32),
+        fin_count=jnp.zeros((p,), jnp.int32),
+        pool_score=jnp.full((p, k), -jnp.inf, jnp.float32),
+        pool_step=jnp.zeros((p, k), jnp.int32),
+        pool_parent=jnp.zeros((p, k), jnp.int32),
+        pool_token=jnp.zeros((p, k), jnp.int32),
+        no_survivors=jnp.zeros((p,), bool),
+    )
+    first = jax.jit(jax.vmap(
+        lambda st, tv, ti: _beam_transition(st, tv, ti, proto, k)))
+    state, rec0 = first(state0, jnp.asarray(top_v),
+                        jnp.asarray(top_i, jnp.int32))
+    seen = jnp.zeros((p, k, llama_cfg.vocab_size), bool).at[
+        jnp.arange(p)[:, None], jnp.arange(k)[None, :],
+        state.last_token].set(True)
+
+    parents = [np.asarray(rec0["parent"])]          # each (P, k)
+    tokens = [np.asarray(rec0["token"])]
+    alive_hist = [np.ones((p,), bool)]
+    emitted = 1
+    while emitted < gen.max_new_tokens:
+        fin = np.asarray(state.fin_count)
+        nosurv = np.asarray(state.no_survivors)
+        if not ((fin < k) & ~nosurv).any():
+            break
+        n = min(chunk, gen.max_new_tokens - emitted)
+        state, seen, gen_cache, records = _beam_chunk_device_grouped(
+            params, state, seen, prefix, gen_cache, llama_cfg, proto, k, n)
+        ra = np.asarray(records["alive"])           # (n, P)
+        rp, rt = np.asarray(records["parent"]), np.asarray(records["token"])
+        for i in range(n):
+            parents.append(rp[i])
+            tokens.append(rt[i])
+            alive_hist.append(ra[i])
+        emitted += n
+
+    pool_score = np.asarray(state.pool_score)
+    pool_step = np.asarray(state.pool_step)
+    pool_parent = np.asarray(state.pool_parent)
+    pool_token = np.asarray(state.pool_token)
+    live_scores = np.asarray(state.scores)
+    nosurv = np.asarray(state.no_survivors)
+    alive_mat = np.stack(alive_hist)                # (T, P)
+
+    results: List[List[int]] = []
+    for v in range(p):
+        def reconstruct(step: int, parent: int, token: int) -> List[int]:
+            seq = [int(token)]
+            b = int(parent)
+            for t in range(step - 1, -1, -1):
+                seq.append(int(tokens[t][v][b]))
+                b = int(parents[t][v][b])
+            return seq[::-1]
+
+        best, best_seq = -np.inf, None
+        for i in range(k):
+            if np.isfinite(pool_score[v, i]) and pool_score[v, i] > best:
+                best = float(pool_score[v, i])
+                best_seq = reconstruct(int(pool_step[v, i]),
+                                       int(pool_parent[v, i]),
+                                       int(pool_token[v, i]))
+        if best_seq is None:
+            # nothing finished: normalized live beams compete. n_emit counts
+            # this video's executed steps, discarding a zero-survivor step's
+            # degenerate record (the single-prompt path pops it).
+            n_emit = int(alive_mat[:, v].sum()) - (1 if nosurv[v] else 0)
+            if n_emit > 0:
+                t_last = n_emit - 1
+                for b in range(k):
+                    sc = live_scores[v, b] / (max(n_emit, 1)
+                                              ** gen.length_penalty)
+                    if sc > best:
+                        best = float(sc)
+                        best_seq = reconstruct(
+                            t_last, int(parents[t_last][v][b]),
+                            int(tokens[t_last][v][b]))
+        results.append(best_seq if best_seq is not None else [])
+    return results
+
+
 def beam_search(
     params,
     inputs_embeds: jax.Array,   # (1, S, d)
@@ -734,6 +957,7 @@ def beam_search(
 
     beams: List[Tuple[float, List[int]]] = [(0.0, [])] + [(-1e9, [])] * (k - 1)
     finished: List[Tuple[float, List[int]]] = []
+    pen = gen.repetition_penalty
 
     # first step: candidates from the prefill logits (one full transfer);
     # every later step transfers only (k, 2k) device-side top-k results
@@ -774,11 +998,27 @@ def beam_search(
             reorder.append(reorder[-1])
             next_tokens.append(next_tokens[-1])
         beams = new_beams
-        tv, ti, gen_cache = _decode_step_topk_prefix(
-            params, jnp.asarray(next_tokens, jnp.int32), prefix, gen_cache,
-            jnp.asarray(reorder, jnp.int32), llama_cfg, 2 * k
-        )
-        top_v, top_i = np.asarray(tv), np.asarray(ti)
+        if pen != 1.0:
+            # penalized form needs the full logprobs (the penalty demotes
+            # per-beam seen tokens, reshuffling the top-2k); host applies
+            # HF's beam-mode rule (_penalize_logp) on each beam's ids
+            lp, gen_cache = _decode_step_logp_prefix(
+                params, jnp.asarray(next_tokens, jnp.int32), prefix,
+                gen_cache, jnp.asarray(reorder, jnp.int32), llama_cfg)
+            lp = np.array(lp, np.float32)  # copy: device buffer is read-only
+            for bi, (_, ids) in enumerate(beams):
+                for t in set(ids):
+                    v = lp[bi, t]
+                    lp[bi, t] = v * pen if v < 0 else v / pen
+            order2 = np.argsort(-lp, axis=-1)[:, : 2 * k]
+            top_v = np.take_along_axis(lp, order2, axis=-1)
+            top_i = order2
+        else:
+            tv, ti, gen_cache = _decode_step_topk_prefix(
+                params, jnp.asarray(next_tokens, jnp.int32), prefix,
+                gen_cache, jnp.asarray(reorder, jnp.int32), llama_cfg, 2 * k
+            )
+            top_v, top_i = np.asarray(tv), np.asarray(ti)
 
     if not finished:
         finished = [(score / (max(len(ids), 1) ** gen.length_penalty), ids)

@@ -291,14 +291,21 @@ def llama_forward(
 def llama_decode_prefix(
     params: Dict,
     inputs_embeds: jax.Array,      # (B, 1, d) — one new token per beam/row
-    prefix: KVCache,               # (layers, 1, S, H, D) shared prompt cache
+    prefix: KVCache,               # (layers, P, S, H, D) shared prompt cache(s)
     gen: KVCache,                  # (layers, B, G, H, D) per-row generated cache
     cfg: LlamaConfig,
 ) -> Tuple[jax.Array, KVCache]:
-    """Single-token decode against a SHARED prompt prefix plus per-row
-    generated caches — beam search stores the prompt KV once instead of
+    """Single-token decode against SHARED prompt prefixes plus per-row
+    generated caches — beam search stores each prompt's KV once instead of
     num_beams times (the reference's HF beam replicates the whole cache;
     on one 16 GB chip that OOMs 7B at beam 5 x 512-token prompts).
+
+    GROUPED form: B = P * k rows, row r attends prefix row r // k. P = 1 is
+    single-prompt beam search; P > 1 is the batched-eval form (P videos x
+    k beams advancing in ONE program — the reference VideoQA protocol is
+    beam 5 per video, reference: stllm/test/qabench/msvd_qa.py:108-115).
+    The beam axis enters the prefix attention only as an einsum broadcast,
+    never as a materialized copy.
 
     Attention concatenates the two score segments before one softmax, so the
     result is bit-equivalent to attending over a physically-replicated cache.
@@ -307,13 +314,18 @@ def llama_decode_prefix(
     x = inputs_embeds.astype(cfg.dtype)
     b, s, d = x.shape
     assert s == 1, "prefix decode is single-token"
-    prefix_len = prefix.length[0]                       # scalar (shared prompt)
-    positions = (prefix_len + gen.length)[:, None]      # (B, 1) absolute
+    p = prefix.k[0].shape[0]
+    assert b % p == 0, (b, p)
+    kr = b // p
+    prefix_len = prefix.length                          # (P,) per-video
+    plen_rows = jnp.repeat(prefix_len, kr)              # (B,)
+    positions = (plen_rows + gen.length)[:, None]       # (B, 1) absolute
     cos, sin = rope_table(cfg.head_dim, cfg.max_positions, cfg.rope_theta)
 
     s_p = prefix.k[0].shape[1]
     g_max = gen.k[0].shape[1]
-    mask_p = (jnp.arange(s_p) < prefix_len)[None, None, None, :]    # (1,1,1,S)
+    mask_p = (jnp.arange(s_p)[None, :]
+              < prefix_len[:, None])[:, None, None, :]  # (P,1,1,S)
     mask_g = jnp.arange(g_max)[None, :] <= gen.length[:, None]      # (B,G)
 
     quantized = prefix.k_scale is not None
@@ -348,21 +360,27 @@ def llama_decode_prefix(
         else:
             pk_i, pv_i, gk_i, gv_i = prefix.k[i], prefix.v[i], gk, gv
 
-        # (B, H, 1, S_p) + (B, H, 1, G): one softmax over both segments
-        qt = q.transpose(0, 2, 1, 3)
-        pk = pk_i.transpose(0, 2, 1, 3)                 # (1, H, S_p, D)
+        # (P, kr, H, 1, S_p) + (B, H, 1, G): one softmax over both segments
+        qt = q.transpose(0, 2, 1, 3)                    # (B, H, 1, D)
+        qg = qt.reshape(p, kr, cfg.heads, 1, cfg.head_dim)
+        pk = pk_i.transpose(0, 2, 1, 3)                 # (P, H, S_p, D)
         pv = pv_i.transpose(0, 2, 1, 3)
         gkt = gk_i.transpose(0, 2, 1, 3)
         gvt = gv_i.transpose(0, 2, 1, 3)
         scale = cfg.head_dim ** -0.5
-        s_pfx = (jnp.einsum("bhqd,phkd->bhqk", qt, pk) * scale).astype(jnp.float32)
-        s_gen = (jnp.einsum("bhqd,bhkd->bhqk", qt, gkt) * scale).astype(jnp.float32)
-        s_pfx = jnp.where(mask_p, s_pfx, -1e30)
+        s_pfx = (jnp.einsum("pbhqd,phkd->pbhqk", qg, pk)
+                 * scale).astype(jnp.float32)           # (P, kr, H, 1, S)
+        s_gen = (jnp.einsum("bhqd,bhkd->bhqk", qt, gkt)
+                 * scale).astype(jnp.float32)           # (B, H, 1, G)
+        s_pfx = jnp.where(mask_p[:, None], s_pfx, -1e30)
         s_gen = jnp.where(mask_g[:, None, None, :], s_gen, -1e30)
-        logits = jnp.concatenate([s_pfx, s_gen], axis=-1)
+        logits = jnp.concatenate(
+            [s_pfx.reshape(b, cfg.heads, 1, s_p), s_gen], axis=-1)
         w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         w_p, w_g = w[..., :s_p], w[..., s_p:]
-        out = (jnp.einsum("bhqk,phkd->bhqd", w_p, pv)
+        out = (jnp.einsum("pbhqk,phkd->pbhqd",
+                          w_p.reshape(p, kr, cfg.heads, 1, s_p), pv
+                          ).reshape(b, cfg.heads, 1, cfg.head_dim)
                + jnp.einsum("bhqk,bhkd->bhqd", w_g, gvt))
         out = out.transpose(0, 2, 1, 3).reshape(b, s, d)
 

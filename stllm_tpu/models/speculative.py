@@ -111,6 +111,58 @@ def _spec_chunk(tgt_params, dft_params, t0, tgt_cache, dft_cache, budget,
     return t_next, tgt_cache, dft_cache, emit_buf, cnt_buf, r
 
 
+@functools.partial(
+    jax.jit, static_argnames=("tgt_cfg", "dft_cfg", "k", "rounds"),
+    donate_argnums=(3, 4))
+def _spec_rounds(tgt_params, dft_params, t0, tgt_cache, dft_cache,
+                 *, tgt_cfg: LlamaConfig, dft_cfg: LlamaConfig, k: int,
+                 rounds: int):
+    """Serving form of the verify loop: a FIXED number of rounds per device
+    call (lax.scan — the continuous batcher wants one static program per
+    step, like its plain decode chunk), batched over server slots with
+    per-row acceptance/rollback. Returns (t_next, caches, emit (R,B,k+1),
+    counts (R,B)) — row b emits counts[r,b] tokens of emit[r,b] per round."""
+
+    def body(carry, _):
+        t0, tgt_cache, dft_cache = carry
+
+        def dstep(c, _):
+            tok, cache = c
+            h, cache = llama_forward(
+                dft_params, input_ids=tok[:, None], cache=cache, cfg=dft_cfg)
+            nxt = jnp.argmax(
+                lm_head(dft_params, h)[:, 0].astype(jnp.float32),
+                axis=-1).astype(jnp.int32)
+            return (nxt, cache), nxt
+
+        (_, dft_cache), drafts = jax.lax.scan(
+            dstep, (t0, dft_cache), None, length=k + 1)
+        d = jnp.swapaxes(drafts[:k], 0, 1)                    # (B, k)
+        seq = jnp.concatenate([t0[:, None], d], axis=1)       # (B, k+1)
+        h, tgt_cache = llama_forward(
+            tgt_params, input_ids=seq, cache=tgt_cache, cfg=tgt_cfg)
+        tgt_tok = jnp.argmax(
+            lm_head(tgt_params, h).astype(jnp.float32),
+            axis=-1).astype(jnp.int32)                        # (B, k+1)
+        match = (tgt_tok[:, :k] == d).astype(jnp.int32)
+        a = jnp.cumprod(match, axis=1).sum(axis=1)
+        t_next = jnp.take_along_axis(tgt_tok, a[:, None], axis=1)[:, 0]
+        idx = jnp.arange(k + 1)[None, :]
+        dpad = jnp.pad(d, ((0, 0), (0, 1)))
+        emit = jnp.where(idx < a[:, None], dpad, 0)
+        emit = jnp.where(idx == a[:, None], t_next[:, None], emit)
+        count = a + 1
+        tgt_cache = tgt_cache._replace(
+            length=tgt_cache.length - (k + 1) + count)
+        dft_cache = dft_cache._replace(
+            length=dft_cache.length - (k + 1) + count)
+        return (t_next, tgt_cache, dft_cache), (emit, count)
+
+    (t_next, tgt_cache, dft_cache), (emits, cnts) = jax.lax.scan(
+        body, (t0, tgt_cache, dft_cache), None, length=rounds)
+    return t_next, tgt_cache, dft_cache, emits, cnts
+
+
 def speculative_generate(
     tgt_params: Dict,
     dft_params: Dict,

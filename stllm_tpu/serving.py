@@ -91,12 +91,36 @@ class ContinuousBatcher:
     """
 
     def __init__(self, params: Dict, cfg: LlamaConfig, *, slots: int = 8,
-                 max_len: int = 1024, chunk: int = 8):
+                 max_len: int = 1024, chunk: int = 8,
+                 draft_params: Optional[Dict] = None,
+                 draft_cfg: Optional[LlamaConfig] = None,
+                 spec_k: int = 4, spec_rounds: int = 4):
         self.params = params
         self.cfg = cfg
         self.slots = slots
         self.max_len = max_len
         self.chunk = chunk
+        # Speculative serving mode (models/speculative.py _spec_rounds):
+        # with a distilled draft tower, each step runs ``spec_rounds``
+        # draft-propose/target-verify rounds — every slot emits 1..spec_k+1
+        # tokens per round, token-identical to plain greedy by the greedy-
+        # acceptance rule. Spec mode serves GREEDY streams only (sampled
+        # requests are rejected at submit; the spec-sampling residual scheme
+        # is out of scope, and a sampled co-tenant would force the plain
+        # path anyway).
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.spec_k = spec_k
+        self.spec_rounds = spec_rounds
+        self.spec = draft_params is not None
+        if self.spec:
+            assert draft_cfg is not None
+            assert draft_cfg.hidden == cfg.hidden, "draft shares embed space"
+            # + (spec_k+1) slack: a verify round writes k+1 entries past the
+            # committed length before rolling back
+            self.draft_cache = init_kv_cache(draft_cfg, slots,
+                                             max_len + spec_k + 1)
+            max_len = max_len + spec_k + 1
         self.cache = init_kv_cache(cfg, slots, max_len)
         self.cur = jnp.zeros((slots,), jnp.int32)
         self.active: List[Optional[Request]] = [None] * slots
@@ -123,6 +147,11 @@ class ContinuousBatcher:
         if gen.do_sample and not 0.0 < gen.top_p <= 1.0:
             raise ValueError(
                 f"request {rid!r}: top_p must be in (0, 1], got {gen.top_p}")
+        if gen.do_sample and self.spec:
+            raise ValueError(
+                f"request {rid!r}: this server runs speculative greedy "
+                "decoding (spec-only mode); submit sampled requests to a "
+                "non-draft server or generation.generate")
         s = inputs_embeds.shape[1]
         s_pad = s + (-s) % gen.pad_to_multiple
         if s_pad + gen.max_new_tokens > self.max_len:
@@ -150,6 +179,11 @@ class ContinuousBatcher:
                                       s_pad)
             self.cache = _insert_slot(self.cache, prefix,
                                       jnp.int32(slot))
+            if self.spec:
+                _, dprefix = _prefill(self.draft_params, emb, mask,
+                                      self.draft_cfg, s_pad)
+                self.draft_cache = _insert_slot(self.draft_cache, dprefix,
+                                                jnp.int32(slot))
             g = req.gen
             self.samp[slot] = g.do_sample
             self.temp[slot] = g.temperature
@@ -190,6 +224,9 @@ class ContinuousBatcher:
             # garbage writes inside the buffer.
             self.cache = self.cache._replace(
                 length=self.cache.length.at[slot].set(0))
+            if self.spec:
+                self.draft_cache = self.draft_cache._replace(
+                    length=self.draft_cache.length.at[slot].set(0))
 
     def step(self) -> List[Request]:
         """Admit queued requests, run one decode chunk, return requests
@@ -199,6 +236,25 @@ class ContinuousBatcher:
         if any(r is not None for r in self.active):
             before = {s: r for s, r in enumerate(self.active)
                       if r is not None}
+            if self.spec:
+                from stllm_tpu.models.speculative import _spec_rounds
+
+                (t_next, self.cache, self.draft_cache, emits,
+                 cnts) = _spec_rounds(
+                    self.params, self.draft_params, self.cur, self.cache,
+                    self.draft_cache, tgt_cfg=self.cfg,
+                    dft_cfg=self.draft_cfg, k=self.spec_k,
+                    rounds=self.spec_rounds)
+                emits_h, cnts_h = np.asarray(emits), np.asarray(cnts)
+                self.cur = t_next
+                for slot in before:
+                    toks = []
+                    for r in range(self.spec_rounds):
+                        toks.extend(
+                            int(t) for t in emits_h[r, slot, :cnts_h[r, slot]])
+                    self._emit(slot, toks)
+                finished, self._finished = self._finished, []
+                return finished
             if self.samp.any():
                 # jnp.array (copy=True), NOT jnp.asarray: the CPU backend
                 # zero-copies aligned numpy buffers into jit arguments, and

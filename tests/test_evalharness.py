@@ -214,6 +214,37 @@ def test_run_videoqa(chat, tmp_path):
     assert saved[0]["id"] == "q1"
 
 
+def test_run_videoqa_batched_matches_sequential(chat, tmp_path):
+    """--batch-videos: B videos' beams advance in one program with preds
+    identical to the one-at-a-time protocol (3 samples over batch 2 also
+    exercises the final partial flush)."""
+    import cv2
+
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    for n, base in (("v1", 30), ("v2", 90), ("v3", 160)):
+        vw = cv2.VideoWriter(str(vdir / f"{n}.mp4"),
+                             cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 64))
+        for i in range(30):
+            vw.write(np.full((64, 64, 3), base + 2 * i, np.uint8))
+        vw.release()
+    gt = [{"video_name": f"v{i}", "question_id": f"q{i}",
+           "question": q, "answer": "x"}
+          for i, q in ((1, "what is shown?"), (2, "what changes over time?"),
+                       (3, "describe the scene"))]
+    gt_file = tmp_path / "gt.json"
+    gt_file.write_text(json.dumps(gt))
+
+    seq = run_videoqa(chat, CONV_instructblip_Vicuna0, str(gt_file),
+                      str(vdir), str(tmp_path / "o1"), "seq", num_frames=4,
+                      num_beams=2, verbose=False)
+    bat = run_videoqa(chat, CONV_instructblip_Vicuna0, str(gt_file),
+                      str(vdir), str(tmp_path / "o2"), "bat", num_frames=4,
+                      num_beams=2, verbose=False, batch_videos=2)
+    assert [r["pred"] for r in bat] == [r["pred"] for r in seq]
+    assert [r["id"] for r in bat] == [r["id"] for r in seq]
+
+
 def test_gpt_eval_fake_judge(tmp_path):
     preds = [{"id": "s1", "question": "q", "answer": "a", "pred": "a"},
              {"id": "s2", "question": "q2", "answer": "b", "pred": "wrong"}]

@@ -335,3 +335,89 @@ def _host_beam(params, embeds, mask, gen):
                      + ((121, 122, 123),))
     out_host = beam_search(params, embeds, mask, llama_cfg=TINY, gen=g2)
     return out_host
+
+
+def test_batched_beam_matches_solo(hf_and_jax):
+    """beam_search_batched (P videos x k beams in one program) emits
+    per-prompt tokens identical to single-prompt beam_search, across mixed
+    prompt lengths (different pad amounts inside one bucket), stop
+    sequences, eos, and early-finishing co-tenants (chunk=3 forces the
+    frozen-video masked path)."""
+    from stllm_tpu.models.generation import beam_search, beam_search_batched
+
+    _, params = hf_and_jax
+    rs = np.random.RandomState(5)
+    configs = [
+        GenerationConfig(max_new_tokens=9, num_beams=3, stop_sequences=(),
+                         eos_token_id=2, pad_to_multiple=8),
+        GenerationConfig(max_new_tokens=8, num_beams=4,
+                         stop_sequences=((35,), (22, 29)), eos_token_id=2,
+                         pad_to_multiple=8),
+        GenerationConfig(max_new_tokens=7, num_beams=2, stop_sequences=(),
+                         eos_token_id=2, min_length=3, length_penalty=1.7,
+                         pad_to_multiple=8),
+    ]
+    for trial, gen in enumerate(configs):
+        prompts = [
+            jnp.asarray((rs.randn(1, s, TINY.hidden) * 0.05
+                         ).astype(np.float32))
+            for s in (5, 11, 3, 8)
+        ]
+        want = [beam_search(params, e, None, llama_cfg=TINY, gen=gen)
+                for e in prompts]
+        got = beam_search_batched(params, prompts, llama_cfg=TINY, gen=gen,
+                                  chunk=3)
+        assert got == want, (trial, got, want)
+
+
+def test_beam_repetition_penalty_matches_hf(hf_and_jax):
+    """The reference's simple-prompt chat mode forces repetition_penalty=1.5
+    into beam answers (reference: stllm/conversation/conversation.py:220,
+    240 — the qabench/vcgbench protocol). HF applies the penalty to the
+    log-softmaxed beam scores per beam; pin our device beam against HF."""
+    model, params = hf_and_jax
+    rs = np.random.RandomState(17)
+    for trial in range(3):
+        emb = (rs.randn(1, 6, TINY.hidden) * 0.05).astype(np.float32)
+        with torch.no_grad():
+            want = model.generate(
+                inputs_embeds=torch.from_numpy(emb), max_new_tokens=7,
+                do_sample=False, num_beams=3, repetition_penalty=1.5,
+                pad_token_id=0, early_stopping=True,
+            )[0].tolist()
+        got = generate(
+            params, jnp.asarray(emb), llama_cfg=TINY,
+            gen=GenerationConfig(max_new_tokens=7, num_beams=3,
+                                 stop_sequences=(), eos_token_id=2,
+                                 repetition_penalty=1.5, pad_to_multiple=8),
+        )[0]
+        want = [t for t in want if t != 0]
+        n = min(len(want), len(got))
+        assert got[:n] == want[:n], (trial, got, want)
+
+
+def test_device_beam_penalty_matches_host_loop(hf_and_jax):
+    """Device beam with repetition penalty == the penalized host loop, and
+    the batched form matches both."""
+    from stllm_tpu.models.generation import (
+        _beam_search_ondevice, _pad_prompt, beam_search_batched)
+
+    _, params = hf_and_jax
+    rs = np.random.RandomState(23)
+    gen = GenerationConfig(max_new_tokens=9, num_beams=3,
+                           stop_sequences=((35,),), eos_token_id=2,
+                           repetition_penalty=1.5, pad_to_multiple=8)
+    prompts = [jnp.asarray((rs.randn(1, s, TINY.hidden) * 0.05
+                            ).astype(np.float32)) for s in (5, 9)]
+    wants = []
+    for emb in prompts:
+        e, m = _pad_prompt(emb, jnp.ones(emb.shape[:2], jnp.int32),
+                           gen.pad_to_multiple)
+        want = _host_beam(params, e, m, gen)
+        got = _beam_search_ondevice(params, e, m, llama_cfg=TINY, gen=gen,
+                                    chunk=3)
+        assert got == want, (got, want)
+        wants.append(want)
+    batched = beam_search_batched(params, prompts, llama_cfg=TINY, gen=gen,
+                                  chunk=3)
+    assert batched == wants

@@ -313,3 +313,86 @@ class TestSampledServing:
         assert both[0] == want
         assert both[1] == generate(params, emb, llama_cfg=CFG, gen=gs,
                                    seed=12)[0]
+
+
+class TestSpeculativeServing:
+    """Spec-mode server (draft_params set): outputs token-identical to solo
+    greedy generate regardless of draft quality — a perfect draft (the
+    target itself) exercises the accept-all path, a random shallow draft
+    the reject/rollback path."""
+
+    def _run_case(self, draft_params, draft_cfg=None, spec_k=3,
+                  spec_rounds=2):
+        params = init_llama(jax.random.PRNGKey(0), CFG)
+        if draft_params == "self":
+            draft_params, draft_cfg = params, CFG
+        gens = {
+            "short": GenerationConfig(max_new_tokens=5, eos_token_id=-1,
+                                      stop_sequences=(), pad_to_multiple=8),
+            "long": GenerationConfig(max_new_tokens=29, eos_token_id=-1,
+                                     stop_sequences=(), pad_to_multiple=8),
+        }
+        reqs = [("a", _req(1, 5), gens["long"]),
+                ("b", _req(2, 11), gens["short"]),
+                ("c", _req(3, 7), gens["long"]),
+                ("d", _req(4, 16), gens["short"]),
+                ("e", _req(5, 3), gens["long"])]
+        want = {rid: generate(params, emb, llama_cfg=CFG, gen=g)[0]
+                for rid, emb, g in reqs}
+        cb = ContinuousBatcher(params, CFG, slots=2, max_len=96, chunk=4,
+                               draft_params=draft_params,
+                               draft_cfg=draft_cfg, spec_k=spec_k,
+                               spec_rounds=spec_rounds)
+        for rid, emb, g in reqs:
+            cb.submit(rid, emb, g)
+        got = cb.run()
+        for rid in want:
+            assert got[rid] == want[rid], rid
+        return cb
+
+    def test_perfect_draft_token_identical(self):
+        # draft == target: every proposal is the target argmax, so every
+        # round accepts all spec_k tokens (fast path) — and slots still
+        # refill correctly mid-flight
+        self._run_case("self")
+
+    def test_weak_draft_token_identical(self):
+        # an untrained 1-layer draft accepts ~nothing: every round goes
+        # through the reject-and-rollback path, output unchanged
+        import dataclasses
+
+        dft_cfg = dataclasses.replace(CFG, num_layers=1)
+        dft = init_llama(jax.random.PRNGKey(99), dft_cfg)
+        self._run_case(dft, dft_cfg)
+
+    def test_eos_and_stop_in_spec_mode(self):
+        params = init_llama(jax.random.PRNGKey(7), CFG)
+        emb = _req(8, 6)
+        base = GenerationConfig(max_new_tokens=24, eos_token_id=-1,
+                                stop_sequences=(), pad_to_multiple=8)
+        free = generate(params, emb, llama_cfg=CFG, gen=base)[0]
+        gen_stop = GenerationConfig(max_new_tokens=24, eos_token_id=-1,
+                                    stop_sequences=((free[6],),),
+                                    pad_to_multiple=8)
+        gen_eos = GenerationConfig(max_new_tokens=24, eos_token_id=free[4],
+                                   stop_sequences=(), pad_to_multiple=8)
+        want_stop = generate(params, emb, llama_cfg=CFG, gen=gen_stop)[0]
+        want_eos = generate(params, emb, llama_cfg=CFG, gen=gen_eos)[0]
+        cb = ContinuousBatcher(params, CFG, slots=2, max_len=64, chunk=4,
+                               draft_params=params, draft_cfg=CFG)
+        cb.submit("stop", emb, gen_stop)
+        cb.submit("eos", emb, gen_eos)
+        got = cb.run()
+        assert got["stop"] == want_stop
+        assert got["eos"] == want_eos
+
+    def test_sampled_rejected_in_spec_mode(self):
+        import pytest
+
+        params = init_llama(jax.random.PRNGKey(0), CFG)
+        cb = ContinuousBatcher(params, CFG, slots=1, max_len=64,
+                               draft_params=params, draft_cfg=CFG)
+        with pytest.raises(ValueError):
+            cb.submit("s", _req(1, 5),
+                      GenerationConfig(max_new_tokens=4, do_sample=True,
+                                       top_p=0.9, pad_to_multiple=8))
