@@ -104,6 +104,17 @@ def main():
         with open(dside) as f:
             line["decode_w4a16_ms_per_token"] = json.load(f)[
                 "decode_w4a16_ms_per_token"]
+    # token-merging encode levels (FLOP reduction past the int8 roofline;
+    # ops/tome.py, accuracy envelope in TOME_EQUIV.json). mild/medium/
+    # aggressive are measured by script/bench_tome.py on this chip; the
+    # headline `value` stays the merge-free parity-preserving stack.
+    tside = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_TOME.json")
+    if os.path.exists(tside):
+        with open(tside) as f:
+            t = json.load(f)
+        line["tome_fps"] = {k: t[k] for k in ("mild", "medium", "aggressive")
+                            if k in t}
     print(json.dumps(line))
 
 

@@ -47,8 +47,8 @@ def main():
         quantize_llama_params, quantize_llama_params_int4)
 
     run_mode = sys.argv[1] if len(sys.argv) > 1 else "both"
-    assert run_mode in ("both", "greedy", "beam"), (
-        f"usage: bench_beam.py [both|greedy|beam] [int8|int4], got "
+    assert run_mode in ("both", "greedy", "beam", "batched"), (
+        f"usage: bench_beam.py [both|greedy|beam|batched] [int8|int4], got "
         f"{sys.argv[1:]}")
     wmode = sys.argv[2] if len(sys.argv) > 2 else "int8"
     assert wmode in ("int8", "int4"), wmode
@@ -107,6 +107,42 @@ def main():
         out["beam5_total_ms"] = round(beam_ms, 1)
     if mode == "both":
         out["beam_over_greedy"] = round(beam_ms / greedy_ms, 2)
+    if mode == "batched":
+        # the eval-sweep form (VideoQA/VcgBench, thousands of videos at
+        # beam=5: reference protocol stllm/test/qabench/msvd_qa.py:108-115):
+        # P videos x 5 beams advance in ONE device program
+        # (models/generation.py:beam_search_batched; per-video tokens
+        # identical to solo beam_search, pinned in tests/test_llama.py).
+        from stllm_tpu.models.generation import beam_search_batched
+
+        p_videos = 8
+        prompts = [jnp.asarray(
+            rng.normal(size=(1, PROMPT, cfg.hidden)) * 0.02, cfg.dtype)
+            for _ in range(p_videos)]
+
+        def run_batched():
+            res = beam_search_batched(params, prompts, llama_cfg=cfg,
+                                      gen=beam_gen)
+            assert len(res) == p_videos and len(res[0]) == NEW
+            return res
+
+        batched_ms = time_fn(run_batched)
+        solo_ms = time_fn(run_beam)
+        out = {"metric": f"batched beam-5 eval throughput ({wmode} weights, "
+                         f"{p_videos} videos/program, 512-token prompts, "
+                         f"{NEW} new, one chip)",
+               "videos": p_videos,
+               "batched_total_ms": round(batched_ms, 1),
+               "batched_ms_per_token_per_video": round(
+                   batched_ms / NEW / p_videos, 2),
+               "solo_beam_total_ms": round(solo_ms, 1),
+               "speedup_vs_solo_sweep": round(solo_ms * p_videos / batched_ms, 2),
+               "videos_per_hour_per_chip": round(
+                   p_videos * 3600e3 / batched_ms, 0)}
+        side = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_BEAM.json")
+        with open(side, "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out))
 
 

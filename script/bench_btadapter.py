@@ -52,20 +52,38 @@ def main():
     params = quantize_vit_params(params, free_dense=True)
     params = calibrate_btadapter_scales(params, frames[:16], cfg, num_frames=16)
 
-    @jax.jit
-    def enc(p, fr):
-        return btadapter_forward(p, fr, cfg, num_frames=T)
+    def measure(c):
+        @jax.jit
+        def enc(p, fr):
+            return btadapter_forward(p, fr, c, num_frames=T)
 
-    enc(params, frames).block_until_ready()
-    enc(params, frames).block_until_ready()
-    t0 = time.perf_counter()
-    iters = 6
-    for _ in range(iters):
-        out = enc(params, frames)
-    out.block_until_ready()
-    fps = F * iters / (time.perf_counter() - t0)
+        enc(params, frames).block_until_ready()
+        enc(params, frames).block_until_ready()
+        t0 = time.perf_counter()
+        iters = 6
+        for _ in range(iters):
+            out = enc(params, frames)
+        out.block_until_ready()
+        return F * iters / (time.perf_counter() - t0)
+
+    fps = measure(cfg)
     result = {"btadapter_static_fps": round(fps, 1),
               "config": "64 frames as 4x16, fully-static int8 trunk+branch"}
+
+    # token-merge levels on the parity config (trunk merged, branch taps
+    # unmerged via the origin map — models/btadapter.py; schedules match
+    # script/bench_tome.py's plain-ViT levels, accuracy envelope in
+    # TOME_EQUIV.json)
+    levels = {"mild": ((13, 192), (26, 144)),
+              "medium": ((13, 160), (26, 96)),
+              "aggressive": ((10, 144), (20, 88), (30, 56))}
+    result["tome_fps"] = {}
+    for name, sched in levels.items():
+        c = dataclasses.replace(cfg, merge_schedule=sched)
+        f = measure(c)
+        result["tome_fps"][name] = round(f, 1)
+        print(json.dumps({"level": name, "frames_per_s": round(f, 1)}),
+              flush=True)
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_BTADAPTER.json")
     with open(out_path, "w") as f:

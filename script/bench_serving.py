@@ -95,9 +95,19 @@ def main():
         "offline_batch8_tokens_per_s": 399,
     }
     print(json.dumps(result))
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_SERVING.json"), "w") as f:
-        json.dump(result, f, indent=1)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_SERVING.json")
+    # merge-preserving: bench_spec_serving.py owns the "speculative" section
+    doc = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except ValueError:
+            doc = {}
+    doc.update(result)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -361,15 +361,38 @@ def btadapter_forward(
     start = cfg.depth - branch_layers
     branch: Optional[jax.Array] = None
 
+    # Staged token merging (ops/tome.py): the TRUNK runs merged (that is
+    # where the FLOPs are — 39 blocks x width 1408); the branch taps gather
+    # back to full resolution through the origin map, because temporal
+    # attention matches patch i of frame t with patch i of frame t+1 and so
+    # needs position-aligned full-res features. Branch cost is unchanged
+    # (it was already the FLOP-proportional residue vs the plain ViT).
+    schedule = dict(cfg.merge_schedule)
+    sizes = origin = None
+    n0 = x.shape[1]
+    if schedule:
+        from stllm_tpu.ops.tome import (
+            bipartite_merge, init_merge_state, unmerge)
+
+        assert all(k < cfg.depth for k in schedule), (
+            "post-trunk merge entries are a plain-ViT lever (they feed the "
+            "Q-Former fewer tokens); BTAdapter output is full-res by "
+            f"construction — got schedule keys {sorted(schedule)}")
+        sizes, origin = init_merge_state(bt, n0)
+
     block_fn = vit_block
     if cfg.remat:
         block_fn = jax.checkpoint(vit_block, static_argnums=(2,))
 
     for idx, block in enumerate(params["blocks"]):
+        if idx in schedule:
+            x, sizes, origin = bipartite_merge(x, sizes, origin,
+                                               schedule[idx])
         x = block_fn(block, x, cfg)
         if idx >= start:
             i = idx - start
-            xr = x.reshape(b, t, *x.shape[1:])
+            x_full = unmerge(x, origin) if origin is not None else x
+            xr = x_full.reshape(b, t, *x_full.shape[1:])
             if branch is None:
                 branch = _branch_init(params, xr, cfg)
             else:
@@ -386,6 +409,8 @@ def btadapter_forward(
                 branch = _spatial_layer(spat_l, branch, b, t, cfg)
 
     # merge: broadcast the branch back to per-frame rows and average
+    if origin is not None:
+        x = unmerge(x, origin)
     l = x.shape[1]
     p = l - 1
     d = x.shape[-1]

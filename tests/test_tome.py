@@ -148,6 +148,56 @@ class TestViTMergeSchedule:
             cfg, merge_schedule=()))
         assert base.shape == (3, 5, 32)
 
+    def test_btadapter_trunk_merges_branch_full_res(self):
+        """BTAdapter + merge_schedule: the trunk runs merged, branch taps
+        unmerge through the origin map (position-aligned full-res), and the
+        output stays full-resolution."""
+        from stllm_tpu.models.btadapter import (
+            btadapter_forward, init_btadapter)
+
+        b, t = 2, 4
+        cfg = self._cfg(merge_schedule=((1, 4),))
+        params = init_btadapter(jax.random.PRNGKey(0), cfg, depth=2)
+        frames = jax.random.normal(jax.random.PRNGKey(3), (b * t, 28, 28, 3))
+        out = btadapter_forward(params, frames, cfg, num_frames=t)
+        assert out.shape == (b * t, 5, 32)      # full-res despite the merge
+        assert np.isfinite(np.asarray(out)).all()
+        base = btadapter_forward(
+            params, frames, dataclasses.replace(cfg, merge_schedule=()),
+            num_frames=t)
+        assert float(jnp.abs(out - base).max()) > 0  # merging is lossy
+
+    def test_btadapter_r0_merge_is_identity(self):
+        """A merge stage that removes zero tokens only permutes the trunk
+        sequence (A/B interleave); blocks are permutation-equivariant and the
+        branch taps + final output unmerge back, so the result must match the
+        merge-free forward to fp tolerance."""
+        from stllm_tpu.models.btadapter import (
+            btadapter_forward, init_btadapter)
+
+        b, t = 1, 2
+        cfg = self._cfg(merge_schedule=((1, 5),))  # 5 -> 5: r = 0
+        params = init_btadapter(jax.random.PRNGKey(0), cfg, depth=2)
+        frames = jax.random.normal(jax.random.PRNGKey(4), (b * t, 28, 28, 3))
+        out = btadapter_forward(params, frames, cfg, num_frames=t)
+        base = btadapter_forward(
+            params, frames, dataclasses.replace(cfg, merge_schedule=()),
+            num_frames=t)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_btadapter_rejects_post_trunk_merge(self):
+        from stllm_tpu.models.btadapter import (
+            btadapter_forward, init_btadapter)
+
+        cfg = self._cfg(merge_schedule=((4, 4),))  # key == depth
+        params = init_btadapter(jax.random.PRNGKey(0), cfg, depth=2)
+        frames = jax.random.normal(jax.random.PRNGKey(5), (2, 28, 28, 3))
+        import pytest
+
+        with pytest.raises(AssertionError, match="post-trunk"):
+            btadapter_forward(params, frames, cfg, num_frames=2)
+
     def test_encode_img_with_merging(self):
         from stllm_tpu.models.llama import LlamaConfig
         from stllm_tpu.models.qformer import QFormerConfig
