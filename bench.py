@@ -113,7 +113,9 @@ def main():
     if os.path.exists(tside):
         with open(tside) as f:
             t = json.load(f)
-        line["tome_fps"] = {k: t[k] for k in ("mild", "medium", "aggressive")
+        line["tome_fps"] = {k: t[k] for k in
+                            ("mild", "medium", "aggressive",
+                             "t_mild", "t_medium", "t_aggressive")
                             if k in t}
     print(json.dumps(line))
 

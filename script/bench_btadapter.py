@@ -84,6 +84,19 @@ def main():
         result["tome_fps"][name] = round(f, 1)
         print(json.dumps({"level": name, "frames_per_s": round(f, 1)}),
               flush=True)
+    # temporal (cross-frame) fold levels — no post-trunk re-merge here:
+    # BTAdapter output is full-res per-frame by construction (the branch
+    # taps unmerge through the origin map), so only the trunk-fold part of
+    # script/bench_tome.py's T_LEVELS applies.
+    t_levels = {"t_mild": ((8, 2, 320),),
+                "t_medium": ((8, 2, 288), (20, 2, 320)),
+                "t_aggressive": ((6, 2, 288), (16, 2, 288), (28, 2, 320))}
+    for name, tsched in t_levels.items():
+        c = dataclasses.replace(cfg, temporal_schedule=tsched)
+        f = measure(c)
+        result["tome_fps"][name] = round(f, 1)
+        print(json.dumps({"level": name, "frames_per_s": round(f, 1)}),
+              flush=True)
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_BTADAPTER.json")
     with open(out_path, "w") as f:

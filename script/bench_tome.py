@@ -22,11 +22,23 @@ from stllm_tpu.models.vit import (
     EVA_VIT_G, calibrate_vit_scales, quantize_vit_params)
 
 FRAMES = 64
+# spatial levels: merge_schedule ((block, tokens_after), ...)
 LEVELS = {
     "off": (),
     "mild": ((13, 192), (26, 144)),
     "medium": ((13, 160), (26, 96)),
     "aggressive": ((10, 144), (20, 88), (30, 56)),
+}
+# temporal (cross-frame) levels: (temporal_schedule, post-trunk
+# merge_schedule). Folds halve the frame rows; tokens/frame-equivalent at
+# each stage are the honest FLOP knob (e.g. t_medium: 257 -> 144 -> 80).
+# The post-trunk entry re-merges the unfolded per-frame output spatially so
+# the Q-Former cross-attends over ~the same token count as the spatial
+# levels (otherwise temporal mode pays full 257-token Q-Former cost).
+T_LEVELS = {
+    "t_mild": (((8, 2, 320),), ((39, 128),)),
+    "t_medium": (((8, 2, 288), (20, 2, 320)), ((39, 96),)),
+    "t_aggressive": (((6, 2, 288), (16, 2, 288), (28, 2, 320)), ((39, 64),)),
 }
 
 
@@ -46,6 +58,7 @@ def measure(cfg, params, frames, q_ids, q_mask, iters):
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    only = sys.argv[2] if len(sys.argv) > 2 else ""   # substring filter
     cfg = STLLMConfig(vit=dataclasses.replace(EVA_VIT_G, gelu_approx=True))
     params = init_stllm(jax.random.PRNGKey(0), cfg, init_llama_params=False)
     params.pop("llama")
@@ -65,18 +78,39 @@ def main():
 
     out = {}
     for name, sched in LEVELS.items():
+        if only and only not in name:
+            continue
         c = dataclasses.replace(
             cfg, vit=dataclasses.replace(cfg.vit, merge_schedule=sched))
         fps = measure(c, params, frames, q_ids, q_mask, iters)
         out[name] = round(fps, 1)
         print(json.dumps({"level": name, "schedule": list(sched),
                           "frames_per_s": round(fps, 1)}), flush=True)
+    for name, (tsched, msched) in T_LEVELS.items():
+        if only and only not in name:
+            continue
+        c = dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, temporal_schedule=tsched,
+                                         merge_schedule=msched))
+        fps = measure(c, params, frames, q_ids, q_mask, iters)
+        out[name] = round(fps, 1)
+        print(json.dumps({"level": name, "temporal": list(tsched),
+                          "post_trunk": list(msched),
+                          "frames_per_s": round(fps, 1)}), flush=True)
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_TOME.json")
+    old = {}
+    if os.path.exists(path):         # merge-preserving (filtered runs)
+        try:
+            with open(path) as f:
+                old = json.load(f)
+        except ValueError:
+            old = {}
+    old.update({"metric": "static-int8 encode fr/s at token-merge levels",
+                "frames": FRAMES, **out})
     with open(path, "w") as f:
-        json.dump({"metric": "static-int8 encode fr/s at token-merge levels",
-                   "frames": FRAMES, **out}, f, indent=1)
+        json.dump(old, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -153,6 +153,17 @@ def main():
         cfg_q, vit=dataclasses.replace(cfg_q.vit, merge_schedule=sched))
     tome_answers = [greedy_answer(params, s, cfg_tome) for s in data]
 
+    # temporal-fold arm (ops/tome.py:fold_frames) on the same trained int8
+    # stack: bench_tome.py's t_medium mapped to the 8-block trunk (folds at
+    # blocks 2 and 4, post-trunk re-merge to 96). The training frames are
+    # iid noise — ZERO cross-frame redundancy, the worst case for a lever
+    # built to exploit adjacent-frame duplication.
+    t_sched = ((2, 2, 288), (4, 2, 320))
+    cfg_tfold = dataclasses.replace(
+        cfg_q, vit=dataclasses.replace(cfg_q.vit, temporal_schedule=t_sched,
+                                       merge_schedule=((8, 96),)))
+    tfold_answers = [greedy_answer(params, s, cfg_tfold) for s in data]
+
     params["llama"] = llama_w4
     w4_answers = [greedy_answer(params, s, cfg_q) for s in data]
 
@@ -165,6 +176,8 @@ def main():
     first4, exact4 = grade(w4_answers)
     firstt = sum(a[0] == b[0] for a, b in zip(int8_answers, tome_answers))
     exactt = sum(a == b for a, b in zip(int8_answers, tome_answers))
+    firsttf = sum(a[0] == b[0] for a, b in zip(int8_answers, tfold_answers))
+    exacttf = sum(a == b for a, b in zip(int8_answers, tfold_answers))
     result = {
         "n": N_VIDEOS,
         "train_steps": steps,
@@ -197,9 +210,21 @@ def main():
                 "noise frames (the adversarial case: zero redundancy); "
                 "random-weight video-frame envelope in TOME_EQUIV.json",
     }
+    result_tfold = {
+        "n": N_VIDEOS,
+        "first_token_match_vs_int8": firsttf / N_VIDEOS,
+        "exact_16_match_vs_int8": exacttf / N_VIDEOS,
+        "temporal_schedule_8_blocks": [list(x) for x in t_sched],
+        "post_trunk_merge": [[8, 96]],
+        "note": "t_medium temporal fold (cross-frame merge) on the trained "
+                "int8 stack, iid-noise frames — zero cross-frame redundancy, "
+                "the adversarial case for a temporal lever; random-weight "
+                "smooth-video envelope in TOME_EQUIV.json",
+    }
     print(json.dumps(result))
     print(json.dumps(result_w4))
     print(json.dumps(result_tome))
+    print(json.dumps(result_tfold))
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "EQUIV_INT8.json")
@@ -215,6 +240,7 @@ def main():
     tpath = os.path.join(os.path.dirname(path), "TOME_EQUIV.json")
     tdoc = json.load(open(tpath)) if os.path.exists(tpath) else {}
     tdoc["trained_model_medium"] = result_tome
+    tdoc["trained_model_t_medium"] = result_tfold
     with open(tpath, "w") as f:
         json.dump(tdoc, f, indent=1)
     with open(path, "w") as f:

@@ -53,6 +53,16 @@ LEVELS = {
     "aggressive": ((10, 144), (20, 88), (30, 56)),
 }
 
+# temporal (cross-frame) levels: (temporal_schedule, post-trunk re-merge) —
+# matches script/bench_tome.py's T_LEVELS. Folds exploit adjacent-frame
+# redundancy, which the synthetic drifting video actually has (and iid noise
+# does not — the noise arm is the adversarial floor for these).
+T_LEVELS = {
+    "t_mild": (((8, 2, 320),), ((39, 128),)),
+    "t_medium": (((8, 2, 288), (20, 2, 320)), ((39, 96),)),
+    "t_aggressive": (((6, 2, 288), (16, 2, 288), (28, 2, 320)), ((39, 64),)),
+}
+
 
 def synth_video(rng, t, size):
     """Smooth synthetic video: random low-freq base + drifting shift +
@@ -183,7 +193,10 @@ def main():
             float(np.median(base_margins)), 4),
         "levels": {},
     }
+    only = sys.argv[2] if len(sys.argv) > 2 else ""   # substring filter
     for name, sched in LEVELS.items():
+        if only and only not in name:
+            continue
         cfg_m = dataclasses.replace(
             cfg_q, vit=dataclasses.replace(cfg_q.vit, merge_schedule=sched))
         out, _ = run_samples(params, cfg_m, samples, f"tome-{name}")
@@ -193,11 +206,38 @@ def main():
         entry["noise_frames"] = grade(base_noise, noise_margins, nout)
         doc["levels"][name] = entry
         print(json.dumps({name: entry}))
+    for name, (tsched, msched) in T_LEVELS.items():
+        if only and only not in name:
+            continue
+        cfg_m = dataclasses.replace(
+            cfg_q, vit=dataclasses.replace(
+                cfg_q.vit, temporal_schedule=tsched, merge_schedule=msched))
+        out, _ = run_samples(params, cfg_m, samples, f"tome-{name}")
+        entry = grade(base_out, base_margins, out)
+        entry["temporal_schedule"] = [list(x) for x in tsched]
+        entry["post_trunk_merge"] = [list(x) for x in msched]
+        nout, _ = run_samples(params, cfg_m, noise, f"tome-{name}-noise")
+        entry["noise_frames"] = grade(base_noise, noise_margins, nout)
+        doc["levels"][name] = entry
+        print(json.dumps({name: entry}))
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "TOME_EQUIV.json")
+    # merge-preserving: the trained-model section is written by its own
+    # script; per-level entries update in place
+    old = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                old = json.load(f)
+        except ValueError:
+            old = {}
+    old_levels = old.get("levels", {})
+    old_levels.update(doc["levels"])
+    old.update(doc)
+    old["levels"] = old_levels
     with open(path, "w") as f:
-        json.dump(doc, f, indent=1)
+        json.dump(old, f, indent=1)
     print(json.dumps({"written": path}))
 
 

@@ -368,23 +368,37 @@ def btadapter_forward(
     # needs position-aligned full-res features. Branch cost is unchanged
     # (it was already the FLOP-proportional residue vs the plain ViT).
     schedule = dict(cfg.merge_schedule)
+    folds = {blk: (g, m) for blk, g, m in cfg.temporal_schedule}
     sizes = origin = None
     n0 = x.shape[1]
-    if schedule:
+    if schedule or folds:
         from stllm_tpu.ops.tome import (
-            bipartite_merge, init_merge_state, unmerge)
+            bipartite_merge, fold_frames, init_merge_state, unmerge)
 
         assert all(k < cfg.depth for k in schedule), (
             "post-trunk merge entries are a plain-ViT lever (they feed the "
             "Q-Former fewer tokens); BTAdapter output is full-res by "
             f"construction — got schedule keys {sorted(schedule)}")
         sizes, origin = init_merge_state(bt, n0)
+    if folds:
+        total_g = 1
+        for g_, _ in folds.values():
+            total_g *= g_
+        assert t % total_g == 0, (
+            f"temporal_schedule groups multiply to {total_g}; num_frames "
+            f"{t} must divide so folds never span videos")
 
     block_fn = vit_block
     if cfg.remat:
         block_fn = jax.checkpoint(vit_block, static_argnums=(2,))
 
     for idx, block in enumerate(params["blocks"]):
+        if idx in folds:
+            g_, m_ = folds[idx]
+            n_pre = x.shape[1]
+            x, sizes, origin = fold_frames(x, sizes, origin, g_)
+            x, sizes, origin = bipartite_merge(x, sizes, origin, m_,
+                                               nb=n_pre)
         if idx in schedule:
             x, sizes, origin = bipartite_merge(x, sizes, origin,
                                                schedule[idx])
@@ -392,7 +406,7 @@ def btadapter_forward(
         if idx >= start:
             i = idx - start
             x_full = unmerge(x, origin) if origin is not None else x
-            xr = x_full.reshape(b, t, *x_full.shape[1:])
+            xr = x_full.reshape(b, t, n0, x.shape[-1])
             if branch is None:
                 branch = _branch_init(params, xr, cfg)
             else:
@@ -410,7 +424,7 @@ def btadapter_forward(
 
     # merge: broadcast the branch back to per-frame rows and average
     if origin is not None:
-        x = unmerge(x, origin)
+        x = unmerge(x, origin).reshape(bt, n0, x.shape[-1])
     l = x.shape[1]
     p = l - 1
     d = x.shape[-1]

@@ -160,7 +160,7 @@ def encode_img(
 
         image_embeds = btadapter_forward(params["vit"], flat, cfg.vit, num_frames=t)
     else:
-        image_embeds = vit_forward(params["vit"], flat, cfg.vit)
+        image_embeds = vit_forward(params["vit"], flat, cfg.vit, num_frames=t)
     image_embeds = layer_norm(params["ln_vision"], image_embeds, 1e-6)
 
     ids = mask = None

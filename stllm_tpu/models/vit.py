@@ -69,6 +69,18 @@ class ViTConfig:
     # FLOP-reduction lever past the int8 roofline wall; accuracy envelope in
     # TOME_EQUIV.json (script/tome_equivalence.py).
     merge_schedule: tuple = ()
+    # Temporal (cross-frame) folding: ((block_idx, group, tokens_after), ...)
+    # applied BEFORE the given block — ``group`` adjacent frame rows fold
+    # into one super-frame row (ops/tome.py:fold_frames), immediately merged
+    # down to ``tokens_after`` so no block ever runs at the concatenated
+    # length. Exploits ADJACENT-FRAME redundancy, which spatial merging
+    # can't see (each frame row merges independently). Output is unmerged
+    # back to per-frame full resolution at trunk exit (the Q-Former
+    # interface needs per-frame rows); combine with a merge_schedule entry
+    # at block == depth to re-merge spatially for the Q-Former if desired.
+    # Folds compound: two (g=2) folds -> 4 frames/row. Requires
+    # num_frames % prod(groups) == 0 (pass num_frames to vit_forward).
+    temporal_schedule: tuple = ()
 
     @property
     def head_dim(self) -> int:
@@ -434,11 +446,18 @@ def vit_block(block: Dict, x: jax.Array, cfg: ViTConfig) -> jax.Array:
 
 
 def vit_forward(params: Dict, images: jax.Array, cfg: ViTConfig, *,
-                return_merge_origin: bool = False) -> jax.Array:
+                return_merge_origin: bool = False,
+                num_frames: int = 0) -> jax.Array:
     """images: (B, H, W, C) normalized. Returns (B, 257, width) tokens —
     or (B, m, width) under cfg.merge_schedule (staged token merging,
     ops/tome.py). ``return_merge_origin=True`` additionally returns the
-    (B, 257) origin map for unmerging (None when merging is off)."""
+    (B, 257) origin map for unmerging (None when merging is off).
+
+    Under cfg.temporal_schedule (cross-frame folding) the trunk runs on
+    super-frame rows and the output is UNFOLDED back to per-frame rows:
+    (B, 257, width) again — or (B, m, width) when a post-trunk
+    merge_schedule entry re-merges spatially for the Q-Former. Pass
+    ``num_frames`` so the fold can assert groups never span videos."""
     x = patchify(images.astype(cfg.dtype), cfg.patch_size)
     x = linear(params["patch_embed"], x)
     cls = jnp.broadcast_to(params["cls_token"], (x.shape[0], 1, cfg.width)).astype(x.dtype)
@@ -446,14 +465,27 @@ def vit_forward(params: Dict, images: jax.Array, cfg: ViTConfig, *,
     x = x + params["pos_embed"].astype(x.dtype)
 
     schedule = dict(cfg.merge_schedule)
+    folds = {blk: (g, m) for blk, g, m in cfg.temporal_schedule}
     origin = None
-    if schedule:
-        from stllm_tpu.ops.tome import bipartite_merge, init_merge_state
+    if schedule or folds:
+        from stllm_tpu.ops.tome import (
+            bipartite_merge, fold_frames, init_merge_state, merge_to,
+            unmerge)
 
         sizes, origin = init_merge_state(x.shape[0], x.shape[1])
+    if folds:
+        total_g = 1
+        for g, _ in folds.values():
+            total_g *= g
+        t = num_frames if num_frames else x.shape[0]
+        assert t % total_g == 0, (
+            f"temporal_schedule groups multiply to {total_g}; num_frames "
+            f"{t} must divide so folds never span videos")
+        assert x.shape[0] % total_g == 0
+        n0 = x.shape[1]
 
     blocks = params["blocks"]
-    if (FUSED_LN and not cfg.remat and not schedule and blocks
+    if (FUSED_LN and not cfg.remat and not schedule and not folds and blocks
             and all("act_scales" in bl for bl in blocks)):
         fused = _vit_blocks_fused_static(blocks, x, cfg)
         if fused is not None:
@@ -462,12 +494,29 @@ def vit_forward(params: Dict, images: jax.Array, cfg: ViTConfig, *,
     if cfg.remat:
         block_fn = jax.checkpoint(vit_block, static_argnums=(2,))
     for i, block in enumerate(blocks):
+        if i in folds:
+            g, m = folds[i]
+            n_pre = x.shape[1]
+            x, sizes, origin = fold_frames(x, sizes, origin, g)
+            # contiguous split: B = CLS + reference (first) frame, A = the
+            # later frames — cross-frame duplicates are A-to-B matchable
+            x, sizes, origin = bipartite_merge(x, sizes, origin, m,
+                                               nb=n_pre)
         if i in schedule:
             x, sizes, origin = bipartite_merge(x, sizes, origin, schedule[i])
         x = block_fn(block, x, cfg)
-    if len(blocks) in schedule:  # post-trunk merge (feeds Q-Former fewer tokens)
-        x, sizes, origin = bipartite_merge(x, sizes, origin,
-                                           schedule[len(blocks)])
+    if folds:
+        # unfold to per-frame full resolution (Q-Former needs per-frame rows)
+        rows = x.shape[0]
+        x = unmerge(x, origin).reshape(rows * total_g, n0, x.shape[-1])
+        origin = None
+        if len(blocks) in schedule:  # re-merge spatially for the Q-Former
+            sizes, origin = init_merge_state(x.shape[0], n0)
+            x, sizes, origin = merge_to(x, sizes, origin,
+                                        schedule[len(blocks)])
+    elif len(blocks) in schedule:  # post-trunk merge (feeds Q-Former fewer tokens)
+        x, sizes, origin = merge_to(x, sizes, origin,
+                                    schedule[len(blocks)])
     return (x, origin) if return_merge_origin else x
 
 

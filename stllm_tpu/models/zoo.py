@@ -35,9 +35,16 @@ _DTYPES = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
            "fp32": jnp.float32, "float32": jnp.float32}
 
 
+def _tuplify(v):
+    """YAML lists -> nested tuples: config dataclasses are closed over /
+    passed as static jit args, so every field must stay hashable (e.g.
+    vit.merge_schedule / vit.temporal_schedule from a YAML `vit:` block)."""
+    return tuple(_tuplify(x) for x in v) if isinstance(v, list) else v
+
+
 def _sub_config(base, overrides: Mapping, dtype) -> Any:
     fields = {f.name for f in dataclasses.fields(base)}
-    kw = {k: v for k, v in (overrides or {}).items() if k in fields}
+    kw = {k: _tuplify(v) for k, v in (overrides or {}).items() if k in fields}
     return dataclasses.replace(base, dtype=dtype, **kw)
 
 

@@ -46,6 +46,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 
 def bipartite_merge(
@@ -53,6 +54,11 @@ def bipartite_merge(
     sizes: jax.Array,    # (B, N) fp32, #original tokens each row represents
     origin: jax.Array,   # (B, N0) int32, current index of each ORIGINAL token
     m: int,              # tokens to keep (N -> m)
+    *,
+    nb: int = 0,         # 0 = alternating A/B split; >0 = B is the FIRST nb
+                         # tokens, A the rest (cross-frame mode after
+                         # fold_frames: B = CLS + reference frame, A = later
+                         # frames, so duplicates across frames are matchable)
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """One merge stage: N tokens -> m tokens (r = N - m merged away).
 
@@ -60,15 +66,21 @@ def bipartite_merge(
     index 0, and origin' maps every original token position to its current
     representative in x' (for unmerge: ``take_along_axis(x', origin')``).
 
-    r is capped at the A-set size (alternating split => r <= floor(N/2));
-    callers pick schedules that respect it.
+    r is capped at the A-set size (alternating split => r <= floor(N/2);
+    contiguous split => r <= N - nb); callers pick schedules that respect it.
     """
     b, n, d = x.shape
     r = n - m
-    # A = odd positions, B = even (CLS lands in B at slot 0)
-    xa, xb = x[:, 1::2], x[:, 0::2]
-    sa, sb = sizes[:, 1::2], sizes[:, 0::2]
-    na, nb = xa.shape[1], xb.shape[1]
+    if nb:
+        b_pos = _np.arange(nb)
+        a_pos = _np.arange(nb, n)
+    else:
+        b_pos = _np.arange(0, n, 2)   # CLS lands in B at slot 0
+        a_pos = _np.arange(1, n, 2)
+        nb = len(b_pos)
+    xa, xb = x[:, a_pos], x[:, b_pos]
+    sa, sb = sizes[:, a_pos], sizes[:, b_pos]
+    na = xa.shape[1]
     if r > na:
         raise ValueError(f"merge {n}->{m} removes {r} > A-set size {na}")
 
@@ -76,7 +88,7 @@ def bipartite_merge(
     xf = x.astype(jnp.float32)
     metric = xf / jnp.maximum(
         jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-6)
-    scores = jnp.einsum("bad,bcd->bac", metric[:, 1::2], metric[:, 0::2])
+    scores = jnp.einsum("bad,bcd->bac", metric[:, a_pos], metric[:, b_pos])
     scores = scores.at[:, :, 0].set(-jnp.inf)       # never merge into CLS
     best_val = jnp.max(scores, axis=-1)             # (B, nA)
     best_dst = jnp.argmax(scores, axis=-1)          # (B, nA) index into B
@@ -91,13 +103,13 @@ def bipartite_merge(
     # size-weighted scatter-average of merged A tokens into their B targets
     sa_m = jnp.take_along_axis(sa, merge_src, axis=1)          # (B, r)
     xa_m = jnp.take_along_axis(
-        xf[:, 1::2], merge_src[..., None], axis=1)             # (B, r, D)
+        xf[:, a_pos], merge_src[..., None], axis=1)            # (B, r, D)
     dst = jnp.take_along_axis(best_dst, merge_src, axis=1)     # (B, r)
     onehot = jax.nn.one_hot(dst, nb, dtype=jnp.float32)        # (B, r, nB)
     add_x = jnp.einsum("brn,brd->bnd", onehot, xa_m * sa_m[..., None])
     add_s = jnp.einsum("brn,br->bn", onehot, sa_m)
     sb_new = sb + add_s
-    xb_new = (xf[:, 0::2] * sb[..., None] + add_x) / sb_new[..., None]
+    xb_new = (xf[:, b_pos] * sb[..., None] + add_x) / sb_new[..., None]
 
     xa_keep = jnp.take_along_axis(xa, keep_src[..., None], axis=1)
     sa_keep = jnp.take_along_axis(sa, keep_src, axis=1)
@@ -112,13 +124,80 @@ def bipartite_merge(
     # merged A tokens point at their B destination's new index (== dst)
     a_new = a_new.at[jnp.arange(b)[:, None], merge_src].set(
         dst.astype(jnp.int32))
-    # stitch back into pre-merge positions: even -> B rank, odd -> A map
+    # stitch back into pre-merge positions: B ranks + A map
     new_of_old = jnp.zeros((b, n), jnp.int32)
-    new_of_old = new_of_old.at[:, 0::2].set(
+    new_of_old = new_of_old.at[:, b_pos].set(
         jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32), (b, nb)))
-    new_of_old = new_of_old.at[:, 1::2].set(a_new)
+    new_of_old = new_of_old.at[:, a_pos].set(a_new)
     origin_out = jnp.take_along_axis(new_of_old, origin, axis=1)
     return x_out, s_out, origin_out
+
+
+def merge_to(
+    x: jax.Array,
+    sizes: jax.Array,
+    origin: jax.Array,
+    m: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Merge N -> m tokens in however many alternating-split stages the
+    per-stage cap requires (each stage removes at most floor(N/2) tokens,
+    i.e. merges to at least ceil(N/2)). Used for the post-trunk re-merge
+    after a temporal unfold, where 257 -> 64..128 exceeds one stage's cap;
+    in-trunk schedule entries stay single-stage by construction."""
+    while x.shape[1] > m:
+        n = x.shape[1]
+        step = max(m, n - n // 2)
+        x, sizes, origin = bipartite_merge(x, sizes, origin, step)
+    return x, sizes, origin
+
+
+def fold_frames(
+    x: jax.Array,        # (R, N, D) per-frame token rows, CLS at index 0
+    sizes: jax.Array,    # (R, N)
+    origin: jax.Array,   # (R, W) current index of each original position
+    g: int,              # adjacent frames per group (R must divide by g)
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Temporal fold: concatenate groups of ``g`` adjacent frame rows into one
+    "super-frame" row so a following :func:`bipartite_merge` can collapse
+    CROSS-FRAME redundancy — the dominant redundancy in video (adjacent
+    frames repeat most patches; reference FLOP source:
+    stllm/models/eva_vit.py:416-428, 257 tokens/frame x 39 blocks).
+
+    Layout of the folded row: ``[cls, frame0 patches, frame1 patches, ...]``
+    where ``cls`` is the size-weighted mean of the g frame CLS tokens (they
+    are near-duplicates for adjacent frames; the Q-Former interface gets each
+    frame's CLS back through the origin map, shared within the group). All
+    origin entries of the g old rows are remapped into the folded row, so a
+    final :func:`unmerge` + reshape restores per-frame full resolution.
+
+    Returns (x', sizes', origin') with shapes ((R/g, 1+g*(N-1), D),
+    (R/g, 1+g*(N-1)), (R/g, g*W)). Rows must be frame-minor within one video
+    (callers assert num_frames % g == 0 so groups never span videos).
+    """
+    r, n, d = x.shape
+    w = origin.shape[1]
+    if r % g:
+        raise ValueError(f"{r} rows not divisible by group {g}")
+    rg = r // g
+    xf = x.astype(jnp.float32).reshape(rg, g, n, d)
+    sz = sizes.reshape(rg, g, n)
+
+    cls_s = sz[:, :, 0]                                    # (rg, g)
+    cls_x = (xf[:, :, 0] * cls_s[..., None]).sum(axis=1) / (
+        cls_s.sum(axis=1)[..., None])                      # (rg, d)
+    patches = xf[:, :, 1:].reshape(rg, g * (n - 1), d)
+    x_out = jnp.concatenate([cls_x[:, None].astype(x.dtype),
+                             patches.astype(x.dtype)], axis=1)
+    s_out = jnp.concatenate(
+        [cls_s.sum(axis=1)[:, None], sz[:, :, 1:].reshape(rg, g * (n - 1))],
+        axis=1)
+
+    # origin remap: old row j's current index o -> 0 (shared CLS) if o == 0,
+    # else 1 + j*(n-1) + (o-1)
+    o = origin.reshape(rg, g, w)
+    off = (jnp.arange(g, dtype=jnp.int32) * (n - 1)).reshape(1, g, 1)
+    o_out = jnp.where(o == 0, 0, o + off).reshape(rg, g * w)
+    return x_out, s_out, o_out
 
 
 def unmerge(x: jax.Array, origin: jax.Array) -> jax.Array:

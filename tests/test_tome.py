@@ -125,6 +125,170 @@ class TestBipartiteMerge:
         assert rec.shape == (b, n, d)
 
 
+class TestMergeTo:
+    def test_multi_stage_merge(self):
+        """257 -> 64 exceeds one alternating stage's cap (r <= floor(N/2));
+        merge_to must chain stages (257 -> 129 -> 65 -> 64) and keep the
+        origin map + size mass consistent."""
+        from stllm_tpu.ops.tome import merge_to
+
+        rng = np.random.default_rng(3)
+        b, n, d, m = 2, 257, 16, 64
+        x = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+        sizes, origin = init_merge_state(b, n)
+        xm, sm, om = merge_to(x, sizes, origin, m)
+        assert xm.shape == (b, m, d)
+        assert sm.shape == (b, m)
+        assert om.shape == (b, n)
+        o = np.asarray(om)
+        assert o.min() >= 0 and o.max() < m
+        # total original-token mass is conserved across stages
+        np.testing.assert_allclose(np.asarray(sm).sum(axis=1), n, rtol=1e-5)
+        # CLS survives at index 0 and every merged slot is someone's origin
+        assert (o[:, 0] == 0).all()
+        rec = unmerge(xm, om)
+        assert rec.shape == (b, n, d)
+
+    def test_single_stage_passthrough(self):
+        from stllm_tpu.ops.tome import merge_to
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(size=(1, 9, 8)), jnp.float32)
+        sizes, origin = init_merge_state(1, 9)
+        xm, _, _ = merge_to(x, sizes, origin, 9)       # no-op
+        np.testing.assert_array_equal(np.asarray(xm), np.asarray(x))
+        xm, _, om = merge_to(x, sizes, origin, 6)      # one stage (r=3<=4)
+        assert xm.shape == (1, 6, 8)
+        assert np.asarray(om).max() < 6
+
+
+class TestTemporalFold:
+    def test_fold_frames_semantics(self):
+        from stllm_tpu.ops.tome import fold_frames
+
+        rng = np.random.default_rng(5)
+        r_, n, d, g = 4, 5, 6, 2
+        x = jnp.asarray(rng.normal(size=(r_, n, d)), jnp.float32)
+        sizes, origin = init_merge_state(r_, n)
+        xf, sf, of = fold_frames(x, sizes, origin, g)
+        assert xf.shape == (2, 1 + g * (n - 1), d)
+        assert sf.shape == (2, 1 + g * (n - 1))
+        assert of.shape == (2, g * n)
+        # shared CLS = mean of the two frame CLS (sizes are 1 each)
+        np.testing.assert_allclose(
+            np.asarray(xf[:, 0]), np.asarray((x[0::2, 0] + x[1::2, 0]) / 2),
+            atol=1e-6)
+        assert float(sf[0, 0]) == g
+        # patch tokens carried over verbatim, frame-major
+        np.testing.assert_allclose(np.asarray(xf[0, 1:n]),
+                                   np.asarray(x[0, 1:]), atol=0)
+        np.testing.assert_allclose(np.asarray(xf[0, n:]),
+                                   np.asarray(x[1, 1:]), atol=0)
+        # origin: frame j position p -> 0 if CLS else 1 + j*(n-1) + (p-1)
+        want = np.concatenate([
+            np.arange(n), np.where(np.arange(n) == 0, 0,
+                                   np.arange(n) + (n - 1))])
+        np.testing.assert_array_equal(np.asarray(of[0]), want)
+
+    def test_cross_frame_duplicates_collapse_exactly(self):
+        """Two identical frames folded (g=2) and merged back to one frame's
+        token count: every later-frame token merges into its twin (cosine 1
+        under the contiguous B=reference-frame split), values are unchanged
+        by the size-weighted average, and the unfolded per-frame output must
+        equal the merge-free forward."""
+        from stllm_tpu.models.vit import ViTConfig, init_vit, vit_forward
+
+        cfg = ViTConfig(image_size=28, patch_size=14, width=32, depth=4,
+                        heads=4, mlp_hidden=64, dtype=jnp.float32,
+                        use_flash=False, temporal_schedule=((1, 2, 5),))
+        params = init_vit(jax.random.PRNGKey(0), cfg)
+        one = jax.random.normal(jax.random.PRNGKey(7), (1, 28, 28, 3))
+        frames = jnp.concatenate([one, one], axis=0)     # t=2, identical
+        out = vit_forward(params, frames, cfg, num_frames=2)
+        base = vit_forward(params, frames, dataclasses.replace(
+            cfg, temporal_schedule=()))
+        assert out.shape == base.shape == (2, 5, 32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_temporal_then_post_trunk_spatial(self):
+        from stllm_tpu.models.vit import ViTConfig, init_vit, vit_forward
+
+        cfg = ViTConfig(image_size=28, patch_size=14, width=32, depth=4,
+                        heads=4, mlp_hidden=64, dtype=jnp.float32,
+                        use_flash=False, temporal_schedule=((1, 2, 6),),
+                        merge_schedule=((4, 4),))
+        params = init_vit(jax.random.PRNGKey(0), cfg)
+        frames = jax.random.normal(jax.random.PRNGKey(8), (4, 28, 28, 3))
+        out, origin = vit_forward(params, frames, cfg, num_frames=4,
+                                  return_merge_origin=True)
+        assert out.shape == (4, 4, 32)       # per-frame rows, re-merged to 4
+        assert origin.shape == (4, 5)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_divisibility_guard(self):
+        from stllm_tpu.models.vit import ViTConfig, init_vit, vit_forward
+
+        cfg = ViTConfig(image_size=28, patch_size=14, width=32, depth=4,
+                        heads=4, mlp_hidden=64, dtype=jnp.float32,
+                        use_flash=False, temporal_schedule=((1, 2, 5),))
+        params = init_vit(jax.random.PRNGKey(0), cfg)
+        frames = jax.random.normal(jax.random.PRNGKey(9), (3, 28, 28, 3))
+        import pytest
+
+        with pytest.raises(AssertionError, match="num_frames"):
+            vit_forward(params, frames, cfg, num_frames=3)
+
+    def test_btadapter_temporal_duplicates_exact(self):
+        """BTAdapter + temporal fold on identical frame pairs: trunk folds
+        collapse the exact duplicates, branch taps unmerge back, and the
+        output must match the fold-free forward."""
+        from stllm_tpu.models.btadapter import (
+            btadapter_forward, init_btadapter)
+        from stllm_tpu.models.vit import ViTConfig
+
+        cfg = ViTConfig(image_size=28, patch_size=14, width=32, depth=4,
+                        heads=4, mlp_hidden=64, dtype=jnp.float32,
+                        use_flash=False, temporal_schedule=((1, 2, 5),))
+        params = init_btadapter(jax.random.PRNGKey(0), cfg, depth=2)
+        one = jax.random.normal(jax.random.PRNGKey(11), (1, 28, 28, 3))
+        frames = jnp.concatenate([one, one], axis=0)     # t=2, identical
+        out = btadapter_forward(params, frames, cfg, num_frames=2)
+        base = btadapter_forward(
+            params, frames, dataclasses.replace(cfg, temporal_schedule=()),
+            num_frames=2)
+        assert out.shape == base.shape == (2, 5, 32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_encode_img_with_temporal_merging(self):
+        from stllm_tpu.models.llama import LlamaConfig
+        from stllm_tpu.models.qformer import QFormerConfig
+        from stllm_tpu.models.stllm import (
+            STLLMConfig, encode_img, init_stllm)
+        from stllm_tpu.models.vit import ViTConfig
+
+        cfg = STLLMConfig(
+            vit=ViTConfig(image_size=28, patch_size=14, width=32, depth=4,
+                          heads=4, mlp_hidden=64, dtype=jnp.float32,
+                          use_flash=False, temporal_schedule=((1, 2, 5),)),
+            qformer=QFormerConfig(hidden=16, num_layers=2, heads=2,
+                                  intermediate=32, encoder_width=32,
+                                  num_query=4, vocab_size=64,
+                                  dtype=jnp.float32),
+            llama=LlamaConfig(vocab_size=64, hidden=24, num_layers=1,
+                              heads=2, intermediate=48, max_positions=64,
+                              dtype=jnp.float32),
+        )
+        params = init_stllm(jax.random.PRNGKey(0), cfg,
+                            init_llama_params=False)
+        params.pop("llama")
+        frames = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 28, 28, 3))
+        out = encode_img(params, frames, cfg)
+        assert out.shape == (1, 4, 4, 24)   # per-frame query tokens intact
+        assert np.isfinite(np.asarray(out)).all()
+
+
 class TestViTMergeSchedule:
     def _cfg(self, **kw):
         from stllm_tpu.models.vit import ViTConfig

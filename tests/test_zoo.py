@@ -41,6 +41,21 @@ def test_build_config_from_yaml_dict():
     assert cfg.vit_model == "eva_clip_g"
 
 
+def test_yaml_merge_schedules_become_tuples():
+    """YAML lists for vit.merge_schedule / vit.temporal_schedule must land
+    as nested tuples: ViTConfig is hashed as a static jit arg on the remat
+    path, and a list-bearing dataclass is unhashable."""
+    cfg = build_stllm_config({
+        **TINY_MODEL_CFG,
+        "vit": {**TINY_MODEL_CFG["vit"],
+                "merge_schedule": [[1, 4]],
+                "temporal_schedule": [[1, 2, 5]]},
+    })
+    assert cfg.vit.merge_schedule == ((1, 4),)
+    assert cfg.vit.temporal_schedule == ((1, 2, 5),)
+    hash(cfg.vit)  # must not raise
+
+
 def test_btadapter_model_type_selects_branch():
     cfg = build_stllm_config({**TINY_MODEL_CFG,
                               "model_type": "instructblip_vicuna0_btadapter"})
