@@ -117,6 +117,9 @@ def main():
                             ("mild", "medium", "aggressive",
                              "t_mild", "t_medium", "t_aggressive")
                             if k in t}
+        if line["tome_fps"]:
+            best = max(line["tome_fps"].values())
+            line["tome_best_vs_baseline"] = round(best / REFERENCE_A100_FPS, 3)
     print(json.dumps(line))
 
 

@@ -7,9 +7,16 @@ UI semantics follow the reference: upload a video, ask questions; every
 question re-encodes the video with the question as Q-Former text
 (demo_gradio.py:73-82), sliders for beam count / temperature / number of
 sampled segments (:157-182).
+
+All model-facing logic lives in ``stllm_tpu/demo_core.py`` (shared with the
+tested demo_web.py); this file is gradio wiring only, so the behavior here
+is covered by tests/test_demo_core.py even without gradio installed.
 """
 
 import argparse
+import functools
+
+from stllm_tpu.demo_core import build_chat, gradio_ask, gradio_upload
 
 
 def parse_args():
@@ -32,48 +39,12 @@ def main():
             "demo_gradio.py requires the optional 'gradio' package "
             "(pip install gradio). For a CLI demo use demo.py instead.")
 
-    import jax
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-
-    from stllm_tpu.common.config import Config
-    from stllm_tpu.common.registry import Registry
-    from stllm_tpu.conversation import CONV_instructblip_Vicuna0
-    from stllm_tpu.models.zoo import ensure_tokenizers
-    import stllm_tpu.data  # noqa: F401
-    import stllm_tpu.models.zoo  # noqa: F401
-
-    cfg = Config(args.cfg_path, options=args.options)
-    model_cfg = cfg.model_cfg
-    if args.ckpt_path:
-        model_cfg["ckpt"] = args.ckpt_path
-    model = Registry.get_model_class(model_cfg["arch"]).from_config(model_cfg)
-    ensure_tokenizers(model)
-    chat = model.chat()
+    chat = build_chat(args.cfg_path, ckpt_path=args.ckpt_path,
+                      options=args.options, cpu=args.cpu)
 
     def upload(video, num_segments, state):
-        conv = CONV_instructblip_Vicuna0.copy()
-        state = {"conv": conv, "img_list": [], "video": video,
-                 "num_segments": int(num_segments)}
-        return state, "Video received — ask a question."
-
-    def ask_answer(question, num_beams, temperature, chatbot, state):
-        if not state or state.get("video") is None:
-            return chatbot + [[question, "Please upload a video first."]], state
-        conv = state["conv"]
-        img_list = state["img_list"]
-        # re-encode with the question as Q-Former text (reference :73-82)
-        img_list.clear()
-        conv.messages.clear()
-        chat.upload_video(state["video"], conv, img_list,
-                          state["num_segments"], text=question)
-        chat.ask(question, conv)
-        answer, _ = chat.answer(conv=conv, img_list=img_list,
-                                num_beams=int(num_beams), do_sample=False,
-                                temperature=float(temperature),
-                                max_new_tokens=300, max_length=2000)
-        return chatbot + [[question, answer]], state
+        new_state, status = gradio_upload(video, num_segments)
+        return new_state or state, status
 
     with gr.Blocks() as demo:
         gr.Markdown("# ST-LLM (TPU) video chat")
@@ -92,7 +63,7 @@ def main():
                 chatbot = gr.Chatbot()
                 question = gr.Textbox(label="question")
         upload_btn.click(upload, [video, num_segments, state], [state, status])
-        question.submit(ask_answer,
+        question.submit(functools.partial(gradio_ask, chat),
                         [question, num_beams, temperature, chatbot, state],
                         [chatbot, state])
     demo.launch(server_port=args.server_port)

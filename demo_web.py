@@ -92,26 +92,10 @@ def parse_args():
 
 
 def build_chat(args):
-    import jax
+    from stllm_tpu.demo_core import build_chat as _build
 
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-
-    from stllm_tpu.common.config import Config
-    from stllm_tpu.common.registry import registry
-    from stllm_tpu.models.zoo import ensure_tokenizers
-    import stllm_tpu.data  # noqa: F401  (registers processors)
-    import stllm_tpu.models.zoo  # noqa: F401  (registers st_llm_hf)
-
-    cfg = Config(args.cfg_path, options=args.options)
-    model_cfg = cfg.model_cfg
-    if args.ckpt_path:
-        model_cfg["ckpt"] = args.ckpt_path
-    model = registry.get_model_class(model_cfg["arch"]).from_config(model_cfg)
-    ensure_tokenizers(model)
-    vit_cfg = model_cfg.get("vit")
-    size = vit_cfg.get("image_size", 224) if isinstance(vit_cfg, dict) else 224
-    return model.chat(image_size=size)
+    return _build(args.cfg_path, ckpt_path=args.ckpt_path,
+                  options=args.options, cpu=args.cpu)
 
 
 class Session:

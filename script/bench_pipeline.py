@@ -139,7 +139,23 @@ def main():
     int4 = "--int4" in sys.argv
     int8 = int8 or int4
     from_video = "--from-video" in sys.argv
+    # --tome=LEVEL: token-merging encode (ops/tome.py; accuracy envelope
+    # TOME_EQUIV.json, throughput ladder BENCH_TOME.json)
+    tome = next((a.split("=", 1)[1] for a in sys.argv
+                 if a.startswith("--tome=")), None)
+    TOME = {
+        "medium": dict(merge_schedule=((13, 160), (26, 96))),
+        "aggressive": dict(merge_schedule=((10, 144), (20, 88), (30, 56))),
+        "t_medium": dict(temporal_schedule=((8, 2, 288), (20, 2, 320)),
+                         merge_schedule=((39, 96),)),
+        "t_aggressive": dict(temporal_schedule=((6, 2, 288), (16, 2, 288),
+                                                (28, 2, 320)),
+                             merge_schedule=((39, 64),)),
+    }
     cfg = STLLMConfig(vit=dataclasses.replace(EVA_VIT_G, gelu_approx=True))
+    if tome:
+        cfg = dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, **TOME[tome]))
     if int8:
         cfg = dataclasses.replace(
             cfg, llama=dataclasses.replace(cfg.llama, kv_int8=True))
@@ -209,6 +225,8 @@ def main():
         "unit": "ms",
         "all_ms": [round(t, 1) for t in times],
     }
+    if tome:
+        line["tome_level"] = tome
 
     if from_video:
         def one_qa_frames(fr):
