@@ -381,6 +381,94 @@ def infer_mvbench_batch(
             for toks in out]
 
 
+def infer_mvbench_serving(
+    chat,
+    samples,                    # iterable of MVBench examples
+    slots: int = 4,
+    max_len: int = 1024,
+    chunk: int = 16,
+    system: str = SYSTEM,
+    question_prompt: str = QUESTION_PROMPT,
+    answer_prompt: Optional[str] = ANSWER_PROMPT,
+    return_prompt: str = RETURN_PROMPT,
+    system_llm: bool = True,
+    all_token: bool = True,
+    ask_simple: bool = False,
+    max_new_tokens: int = 100,
+    window: Optional[int] = None,
+):
+    """Stream samples through `pipeline_serving.VideoQAServer`: encodes
+    admit lazily into free decode slots and every resident answer advances
+    through one shared decode program, so the 7B weight stream is shared
+    across co-resident QAs — where the reference (and per-sample
+    infer_mvbench) leaves the chip idle during each host step
+    (reference: mv_bench.py:229-283 one-video-at-a-time loop).
+
+    Yields ``(example, pred)`` in COMPLETION order (short answers finish
+    first); predictions are token-identical to per-sample infer_mvbench
+    (pinned in tests/test_mvbench.py). At most ``window`` (default
+    ``2*slots``) samples are materialized ahead of the decoder.
+    """
+    import dataclasses
+
+    from stllm_tpu.models.generation import GenerationConfig
+    from stllm_tpu.pipeline_serving import VideoQAServer
+
+    # infer_mvbench's all_token flag (the reference's `~bool` quirk — see
+    # module docstring) lays video tokens out as (t*q) or mean REGARDLESS
+    # of the trained video_input mode; apply_video_input with 'all'/'mean'
+    # reproduces those layouts exactly, so pin the serving cfg to match.
+    cfg = dataclasses.replace(chat.cfg,
+                              video_input="all" if all_token else "mean")
+    gen = GenerationConfig(max_new_tokens=max_new_tokens, do_sample=False)
+    srv = VideoQAServer(chat.params, cfg, slots=slots, max_len=max_len,
+                        chunk=chunk)
+    window = window or 2 * slots
+    pending: Dict[int, Dict] = {}
+    it = iter(enumerate(samples))
+    exhausted = False
+
+    def build(example: Dict):
+        frames = jnp.asarray(example["video"])[None]
+        q_ids = None
+        if chat.cfg.qformer_text_input and chat.qformer_tokenizer is not None:
+            ids = chat.qformer_tokenizer.encode(
+                example["question"], add_special_tokens=True)
+            q_ids = jnp.asarray([ids[: chat.max_qformer_len]], jnp.int32)
+        question = (system + example["question"] + question_prompt
+                    if system_llm else example["question"] + question_prompt)
+        prompt = mvbench_prompt(system, question, answer_prompt)
+        if ask_simple:
+            # get_context_emb_sim puts the video FIRST; BOS rides inside
+            # the trailing text (add_special_tokens=True), so no prefix
+            pre = []
+            suf = chat.llama_tokenizer.encode(
+                prompt.split("</Video>\n")[1], add_special_tokens=True)
+        else:
+            segs = prompt.split("<VideoHere>")
+            pre = chat.llama_tokenizer.encode(segs[0], add_special_tokens=True)
+            suf = chat.llama_tokenizer.encode(segs[1], add_special_tokens=False)
+        return (frames, jnp.asarray([pre], jnp.int32).reshape(1, -1),
+                jnp.asarray([suf], jnp.int32).reshape(1, -1), q_ids)
+
+    while True:
+        while not exhausted and len(pending) < window:
+            try:
+                rid, example = next(it)
+            except StopIteration:
+                exhausted = True
+                break
+            frames, pre, suf, q_ids = build(example)
+            srv.submit(rid, frames, pre, suf, gen, qformer_text_ids=q_ids)
+            pending[rid] = example
+        if not pending:
+            return
+        for req in srv.step():
+            example = pending.pop(req.rid)
+            yield example, _strip_and_tail(list(req.tokens),
+                                           chat.llama_tokenizer, return_prompt)
+
+
 def check_ans(pred: str, gt: str) -> bool:
     """Option-letter match (reference: mv_bench.py:285-300)."""
     pred_list = pred.lower().split(" ")
@@ -407,12 +495,19 @@ def run_mvbench(
     verbose: bool = True,
     batch_size: int = 1,
     shard: Optional[Tuple[int, int]] = None,
+    serving_slots: Optional[int] = None,
+    serving_max_len: int = 1024,
 ) -> Dict:
     """Accuracy accumulation + JSON dump (reference: mv_bench_infer.py:68-118).
 
     ``batch_size > 1`` groups samples with the same frame count and runs
     infer_mvbench_batch — same predictions, one encoder/decoder pass per
     group instead of per video.
+
+    ``serving_slots=N`` streams the whole split through the continuous
+    video-QA server instead (infer_mvbench_serving): encodes interleave
+    with a shared N-slot decode, no same-frame-count grouping needed;
+    same predictions, scored in completion order.
 
     ``shard=(rank, world)`` evaluates every world-th sample — multi-host
     eval in the reference's style (DistributedSampler + rank-sharded JSON,
@@ -441,7 +536,13 @@ def run_mvbench(
     rank, world = shard if shard else (0, 1)
     indices = range(rank, len(dataset), world)
 
-    if batch_size <= 1:
+    if serving_slots:
+        for example, pred in infer_mvbench_serving(
+                chat, (dataset[i] for i in indices), slots=serving_slots,
+                max_len=serving_max_len, ask_simple=ask_simple,
+                system_llm=system_llm, all_token=all_token):
+            score(example, pred)
+    elif batch_size <= 1:
         for i in indices:
             example = dataset[i]
             pred = infer_mvbench(chat, example, ask_simple=ask_simple,

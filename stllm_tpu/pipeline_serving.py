@@ -1,0 +1,168 @@
+"""Full-pipeline video-QA serving: encode interleaved with batched decode.
+
+`serving.ContinuousBatcher` serves the DECODE half (it takes prompt
+embeddings); production video QA also needs the encode half — ViT +
+Q-Former + llama_proj over the request's frames — on the SAME chip. The
+reference has no serving story at all: its MVBench/chat loops run one
+sample end-to-end at a time (reference: stllm/test/mvbench/mv_bench.py:229-283,
+stllm/conversation/conversation.py:222-247), leaving the chip idle during
+every host step and the weight stream unshared across requests.
+
+This module schedules both halves on one chip:
+
+- A request = (frames uint8, prompt text around the video, GenerationConfig).
+- Encode runs LAZILY — only when a decode slot is free for the result —
+  so a burst of submissions doesn't serialize N encodes in front of the
+  decode streams already in flight. One (1,T)-shaped jitted
+  encode+assemble program per (T, prefix_len, suffix_len) bucket; its
+  output embeddings stay on device and flow straight into the batcher's
+  prefill (no host round-trip between the halves — through the axon
+  tunnel a blocking pull costs ~30 ms, CLAUDE.md).
+- Decode advances all active slots together through the batcher's shared
+  chunk program; finished slots are refilled from the encode queue
+  without stopping co-tenants.
+
+Answers are token-identical to the offline path (encode_img ->
+generation.generate) for greedy requests — pinned in
+tests/test_pipeline_serving.py the same way tests/test_serving.py pins
+the decode-only batcher.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stllm_tpu.models.generation import GenerationConfig
+from stllm_tpu.models.stllm import STLLMConfig, apply_video_input, encode_img
+from stllm_tpu.serving import ContinuousBatcher
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _encode_assemble(params, frames, prefix_ids, suffix_ids, q_ids, q_mask,
+                     cfg: STLLMConfig):
+    """Encode one video and splice its tokens between the text embeddings.
+    Module-level jit (one compile per shape bucket x cfg, shared across
+    server instances); output embeddings stay on device for the batcher's
+    prefill."""
+    vid = encode_img(params, frames, cfg, q_ids, q_mask)
+    vid = apply_video_input(params, vid, cfg)                # (1, V, D)
+    table = params["llama"]["embed_tokens"]
+    pre = table[prefix_ids].astype(vid.dtype)                 # (1, lp, D)
+    suf = table[suffix_ids].astype(vid.dtype)                 # (1, ls, D)
+    return jnp.concatenate([pre, vid, suf], axis=1)
+
+
+class QARequest:
+    def __init__(self, rid, frames, prefix_ids, suffix_ids, q_ids, q_mask,
+                 gen: GenerationConfig, seed: int):
+        self.rid = rid
+        self.frames = frames
+        self.prefix_ids = prefix_ids
+        self.suffix_ids = suffix_ids
+        self.q_ids = q_ids
+        self.q_mask = q_mask
+        self.gen = gen
+        self.seed = seed
+
+
+class VideoQAServer:
+    """Continuous video-QA server over one model replica.
+
+    >>> srv = VideoQAServer(params, cfg, slots=4, max_len=1024)
+    >>> srv.submit("a", frames_a, prefix_ids, suffix_ids)
+    >>> srv.submit("b", frames_b, prefix_ids, suffix_ids)
+    >>> answers = srv.run()          # {"a": [...tokens...], "b": [...]}
+
+    ``params`` is the full ST-LLM tree (vit / qformer / llama_proj /
+    ln_vision / llama, quantized or not); ``frames`` is (1, T, H, W, 3)
+    uint8 (CLIP normalization fuses into the encode graph); prefix/suffix
+    are token-id rows (1, L) embedded through the LLM's embedding table
+    around the video tokens, mirroring the reference prompt layout
+    (stllm/test/mvbench/mv_bench.py:238-255: system + question, <video>,
+    options + answer prompt).
+    """
+
+    def __init__(self, params: Dict, cfg: STLLMConfig, *, slots: int = 4,
+                 max_len: int = 1024, chunk: int = 16,
+                 batcher: Optional[ContinuousBatcher] = None):
+        self.params = params
+        self.cfg = cfg
+        self.batcher = batcher or ContinuousBatcher(
+            params["llama"], cfg.llama, slots=slots, max_len=max_len,
+            chunk=chunk)
+        self.encode_queue: List[QARequest] = []
+
+    # -- API -----------------------------------------------------------------
+
+    def submit(self, rid, frames: jax.Array, prefix_ids, suffix_ids,
+               gen: GenerationConfig = GenerationConfig(), *,
+               qformer_text_ids=None, qformer_text_mask=None, seed: int = 0):
+        assert frames.ndim == 5 and frames.shape[0] == 1, \
+            "frames must be (1, T, H, W, C)"
+        prefix_ids = jnp.asarray(prefix_ids, jnp.int32).reshape(1, -1)
+        suffix_ids = jnp.asarray(suffix_ids, jnp.int32).reshape(1, -1)
+        if qformer_text_ids is not None:
+            qformer_text_ids = jnp.asarray(
+                qformer_text_ids, jnp.int32).reshape(1, -1)
+            if qformer_text_mask is None:
+                qformer_text_mask = jnp.ones_like(qformer_text_ids)
+            else:
+                qformer_text_mask = jnp.asarray(
+                    qformer_text_mask, jnp.int32).reshape(1, -1)
+        # surface bad generation configs / over-long prompts at submit
+        # time (the batcher re-checks embeddings length at admit)
+        t = frames.shape[1]
+        v = self._video_tokens(t)
+        s = prefix_ids.shape[1] + v + suffix_ids.shape[1]
+        s_pad = s + (-s) % gen.pad_to_multiple
+        if s_pad + gen.max_new_tokens > self.batcher.max_len:
+            raise ValueError(
+                f"request {rid!r}: padded prompt ({s_pad}) + budget "
+                f"({gen.max_new_tokens}) exceeds server max_len "
+                f"({self.batcher.max_len})")
+        self.encode_queue.append(QARequest(
+            rid, frames, prefix_ids, suffix_ids, qformer_text_ids,
+            qformer_text_mask, gen, seed))
+
+    def _video_tokens(self, t: int) -> int:
+        cfg = self.cfg
+        if t == 1:
+            return cfg.num_query
+        if cfg.video_input == "mean":
+            return cfg.num_query
+        if cfg.video_input == "residual":
+            return cfg.residual_size * cfg.num_query
+        return t * cfg.num_query
+
+    def _free_slots(self) -> int:
+        b = self.batcher
+        idle = sum(r is None for r in b.active)
+        return max(0, idle - len(b.queue))
+
+    def step(self) -> List:
+        """Encode as many queued videos as there are free decode slots,
+        hand their embeddings to the batcher, advance one decode chunk.
+        Returns requests finished this step."""
+        n = min(self._free_slots(), len(self.encode_queue))
+        for _ in range(n):
+            req = self.encode_queue.pop(0)
+            embeds = _encode_assemble(self.params, req.frames,
+                                      req.prefix_ids, req.suffix_ids,
+                                      req.q_ids, req.q_mask, cfg=self.cfg)
+            self.batcher.submit(req.rid, embeds, req.gen, seed=req.seed)
+        return self.batcher.step()
+
+    def run(self) -> Dict[object, List[int]]:
+        """Drain the encode queue and all decode slots; rid -> tokens."""
+        out: Dict[object, List[int]] = {}
+        b = self.batcher
+        while (self.encode_queue or b.queue or b._finished
+               or any(r is not None for r in b.active)):
+            for req in self.step():
+                out[req.rid] = req.tokens
+        return out

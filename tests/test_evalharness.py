@@ -184,6 +184,34 @@ def test_batched_matches_sequential(bench_dir, chat, tmp_path):
     assert sum(v[1] for k, v in res["acc_dict"].items() if k != "Total Acc") == 3
 
 
+def test_serving_matches_sequential(bench_dir, chat, tmp_path):
+    """infer_mvbench_serving (continuous video-QA server) produces the
+    SAME per-sample predictions as infer_mvbench, across mixed prompt
+    lengths and both ask modes, with more samples than slots."""
+    from stllm_tpu.evalharness.mvbench import infer_mvbench_serving
+
+    anno, media, data_list = bench_dir
+    ds = MVBenchDataset(anno, media, data_list, num_segments=4, resolution=28)
+    samples = [ds[i] for i in range(3)]
+    want = {s["question"]: infer_mvbench(chat, s, max_new_tokens=6)
+            for s in samples}
+    got = {ex["question"]: pred for ex, pred in infer_mvbench_serving(
+        chat, samples, slots=2, max_len=256, chunk=4, max_new_tokens=6)}
+    assert got == want
+
+    # ask_simple layout (video first, BOS inside the trailing text)
+    want_s = infer_mvbench(chat, ds[1], ask_simple=True, max_new_tokens=4)
+    [(_, got_s)] = list(infer_mvbench_serving(
+        chat, [ds[1]], slots=1, max_len=256, chunk=4, ask_simple=True,
+        max_new_tokens=4))
+    assert got_s == want_s
+
+    res = run_mvbench(chat, ds, output_dir=str(tmp_path), output_name="s",
+                      verbose=False, serving_slots=2, serving_max_len=256)
+    assert sum(v[1] for k, v in res["acc_dict"].items()
+               if k != "Total Acc") == 3
+
+
 def test_infer_simple_mode(bench_dir, chat):
     anno, media, data_list = bench_dir
     ds = MVBenchDataset(anno, media, data_list, num_segments=4, resolution=28)

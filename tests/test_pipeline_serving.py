@@ -1,0 +1,156 @@
+"""Full-pipeline video-QA server (stllm_tpu/pipeline_serving.py): answers
+are token-identical to the offline path (encode_img -> apply_video_input ->
+text embedding splice -> generation.generate), across slot reuse, mixed
+frame counts, and mixed budgets."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stllm_tpu.models.generation import GenerationConfig, generate
+from stllm_tpu.models.llama import LlamaConfig
+from stllm_tpu.models.qformer import QFormerConfig
+from stllm_tpu.models.stllm import (
+    STLLMConfig, apply_video_input, encode_img, init_stllm)
+from stllm_tpu.models.vit import ViTConfig
+from stllm_tpu.pipeline_serving import VideoQAServer
+
+CFG = STLLMConfig(
+    vit=ViTConfig(image_size=56, patch_size=14, width=64, depth=2, heads=4,
+                  mlp_hidden=128, dtype=jnp.float32, use_flash=False),
+    qformer=QFormerConfig(hidden=32, num_layers=2, heads=4, intermediate=64,
+                          encoder_width=64, num_query=8, vocab_size=128,
+                          dtype=jnp.float32),
+    llama=LlamaConfig(vocab_size=97, hidden=64, num_layers=2, heads=4,
+                      intermediate=128, max_positions=512,
+                      dtype=jnp.float32),
+    video_input="residual",
+    residual_size=2,
+)
+
+
+def _frames(seed, t):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.integers(
+        0, 256, (1, t, CFG.vit.image_size, CFG.vit.image_size, 3)), jnp.uint8)
+
+
+def _ids(seed, n, vocab):
+    rng = np.random.default_rng(100 + seed)
+    return jnp.asarray(rng.integers(0, vocab, (1, n)), jnp.int32)
+
+
+def _offline(params, frames, pre, suf, gen, q_ids=None, q_mask=None):
+    vid = encode_img(params, frames, CFG, q_ids, q_mask)
+    vid = apply_video_input(params, vid, CFG)
+    table = params["llama"]["embed_tokens"]
+    embeds = jnp.concatenate(
+        [table[pre].astype(vid.dtype), vid, table[suf].astype(vid.dtype)],
+        axis=1)
+    return generate(params["llama"], embeds, llama_cfg=CFG.llama, gen=gen)[0]
+
+
+class TestVideoQAServer:
+    def test_matches_offline_pipeline(self):
+        params = init_stllm(jax.random.PRNGKey(0), CFG,
+                            init_llama_params=True)
+        gen_s = GenerationConfig(max_new_tokens=4, eos_token_id=-1,
+                                 stop_sequences=(), pad_to_multiple=8)
+        gen_l = GenerationConfig(max_new_tokens=11, eos_token_id=-1,
+                                 stop_sequences=(), pad_to_multiple=8)
+        # mixed frame counts (different encode buckets), prefix lengths
+        # (different pad buckets), budgets; more requests than slots
+        reqs = [("a", _frames(1, 4), _ids(1, 5, 97), _ids(11, 3, 97), gen_l),
+                ("b", _frames(2, 4), _ids(2, 9, 97), _ids(12, 3, 97), gen_s),
+                ("c", _frames(3, 8), _ids(3, 5, 97), _ids(13, 3, 97), gen_l),
+                ("d", _frames(4, 4), _ids(4, 5, 97), _ids(14, 3, 97), gen_s),
+                ("e", _frames(5, 8), _ids(5, 7, 97), _ids(15, 3, 97), gen_l)]
+        q_ids = _ids(9, 6, CFG.qformer.vocab_size)
+
+        want = {rid: _offline(params, fr, pre, suf, g, q_ids)
+                for rid, fr, pre, suf, g in reqs}
+
+        srv = VideoQAServer(params, CFG, slots=2, max_len=128, chunk=4)
+        for rid, fr, pre, suf, g in reqs:
+            srv.submit(rid, fr, pre, suf, g, qformer_text_ids=q_ids)
+        got = srv.run()
+        assert set(got) == set(want)
+        for rid in want:
+            assert got[rid] == want[rid], rid
+
+    def test_no_qformer_text(self):
+        params = init_stllm(jax.random.PRNGKey(1), CFG,
+                            init_llama_params=True)
+        gen = GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        fr, pre, suf = _frames(7, 4), _ids(7, 4, 97), _ids(17, 2, 97)
+        want = _offline(params, fr, pre, suf, gen)
+        srv = VideoQAServer(params, CFG, slots=2, max_len=96, chunk=4)
+        srv.submit("x", fr, pre, suf, gen)
+        assert srv.run()["x"] == want
+
+    def test_sampled_request_matches_offline_stream(self):
+        """A do_sample request through the QA server draws from the same
+        fold_in(PRNGKey(seed), token_index) stream as the offline path
+        (encode -> generate(do_sample=True, seed=s)), with a greedy
+        co-tenant present."""
+        params = init_stllm(jax.random.PRNGKey(4), CFG,
+                            init_llama_params=True)
+        gs = GenerationConfig(max_new_tokens=7, eos_token_id=-1,
+                              stop_sequences=(), pad_to_multiple=8,
+                              do_sample=True, top_p=0.85, temperature=0.9)
+        gg = GenerationConfig(max_new_tokens=5, eos_token_id=-1,
+                              stop_sequences=(), pad_to_multiple=8)
+        fr, pre, suf = _frames(9, 4), _ids(9, 4, 97), _ids(19, 2, 97)
+
+        vid = encode_img(params, fr, CFG)
+        vid = apply_video_input(params, vid, CFG)
+        table = params["llama"]["embed_tokens"]
+        embeds = jnp.concatenate(
+            [table[pre].astype(vid.dtype), vid, table[suf].astype(vid.dtype)],
+            axis=1)
+        want = generate(params["llama"], embeds, llama_cfg=CFG.llama,
+                        gen=gs, seed=21)[0]
+
+        srv = VideoQAServer(params, CFG, slots=2, max_len=96, chunk=4)
+        srv.submit("s", fr, pre, suf, gs, seed=21)
+        srv.submit("g", _frames(10, 4), _ids(10, 3, 97), _ids(20, 2, 97), gg)
+        got = srv.run()
+        assert got["s"] == want
+        assert len(got["g"]) == 5
+
+    def test_overlong_request_rejected_at_submit(self):
+        params = init_stllm(jax.random.PRNGKey(2), CFG,
+                            init_llama_params=True)
+        srv = VideoQAServer(params, CFG, slots=2, max_len=48, chunk=4)
+        gen = GenerationConfig(max_new_tokens=40, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        try:
+            srv.submit("big", _frames(8, 4), _ids(8, 6, 97), _ids(18, 3, 97),
+                       gen)
+        except ValueError as e:
+            assert "max_len" in str(e)
+        else:
+            raise AssertionError("overlong request was not rejected")
+
+    def test_lazy_encode_interleaves_with_decode(self):
+        """A burst larger than the slot count must not encode everything
+        up front: the encode queue drains as slots free."""
+        params = init_stllm(jax.random.PRNGKey(3), CFG,
+                            init_llama_params=True)
+        gen = GenerationConfig(max_new_tokens=5, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        srv = VideoQAServer(params, CFG, slots=2, max_len=96, chunk=4)
+        for i in range(5):
+            srv.submit(i, _frames(20 + i, 4), _ids(20 + i, 4, 97),
+                       _ids(40 + i, 2, 97), gen)
+        first = srv.step()   # may already finish slots: budget 5 = 1 + chunk 4
+        # two slots -> exactly two requests encoded+admitted, three waiting
+        assert len(srv.encode_queue) == 3
+        out = {r.rid: r.tokens for r in first}
+        out.update(srv.run())
+        assert set(out) == set(range(5))
+        want = {i: _offline(params, _frames(20 + i, 4), _ids(20 + i, 4, 97),
+                            _ids(40 + i, 2, 97), gen) for i in range(5)}
+        for i in range(5):
+            assert out[i] == want[i], i
