@@ -14,6 +14,7 @@ from stllm_tpu.models.stllm import (
     STLLMConfig, apply_video_input, encode_img, init_stllm)
 from stllm_tpu.models.vit import ViTConfig
 from stllm_tpu.pipeline_serving import VideoQAServer
+from stllm_tpu.serving import ContinuousBatcher
 
 CFG = STLLMConfig(
     vit=ViTConfig(image_size=56, patch_size=14, width=64, depth=2, heads=4,
@@ -132,6 +133,59 @@ class TestVideoQAServer:
             assert "max_len" in str(e)
         else:
             raise AssertionError("overlong request was not rejected")
+
+    def test_spec_mode_batcher_token_identical(self):
+        """Speculative decode composes with the QA server: a spec-mode
+        ContinuousBatcher (draft == target exercises the accept-all path)
+        plugged in via ``batcher=`` yields the same answers as offline
+        greedy."""
+        params = init_stllm(jax.random.PRNGKey(5), CFG,
+                            init_llama_params=True)
+        gen = GenerationConfig(max_new_tokens=9, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        reqs = [(rid, _frames(30 + i, 4), _ids(30 + i, 4, 97),
+                 _ids(50 + i, 2, 97))
+                for i, rid in enumerate(("a", "b", "c"))]
+        want = {rid: _offline(params, fr, pre, suf, gen)
+                for rid, fr, pre, suf in reqs}
+        cb = ContinuousBatcher(params["llama"], CFG.llama, slots=2,
+                               max_len=96, chunk=4,
+                               draft_params=params["llama"],
+                               draft_cfg=CFG.llama, spec_k=3, spec_rounds=2)
+        srv = VideoQAServer(params, CFG, batcher=cb)
+        for rid, fr, pre, suf in reqs:
+            srv.submit(rid, fr, pre, suf, gen)
+        got = srv.run()
+        for rid in want:
+            assert got[rid] == want[rid], rid
+
+    def test_tp_sharded_server_matches_single_device(self):
+        """The whole QA server (encode + batched decode) runs under a
+        (data, model) mesh with TP param shardings — GSPMD propagates the
+        shardings through the encode, prefill, and cache carries — and
+        emits the same answers as single-device execution."""
+        from stllm_tpu.parallel.mesh import make_mesh
+        from stllm_tpu.parallel.sharding import stllm_param_shardings
+
+        params = init_stllm(jax.random.PRNGKey(6), CFG,
+                            init_llama_params=True)
+        gen = GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        reqs = [(rid, _frames(60 + i, 4), _ids(60 + i, 4, 97),
+                 _ids(70 + i, 2, 97))
+                for i, rid in enumerate(("a", "b", "c"))]
+        want = {rid: _offline(params, fr, pre, suf, gen)
+                for rid, fr, pre, suf in reqs}
+
+        mesh = make_mesh(data=4, model=2)
+        p_sh = stllm_param_shardings(mesh, params, min_size=64)
+        sharded = jax.device_put(params, p_sh)
+        srv = VideoQAServer(sharded, CFG, slots=2, max_len=96, chunk=4)
+        for rid, fr, pre, suf in reqs:
+            srv.submit(rid, fr, pre, suf, gen)
+        got = srv.run()
+        for rid in want:
+            assert got[rid] == want[rid], rid
 
     def test_lazy_encode_interleaves_with_decode(self):
         """A burst larger than the slot count must not encode everything
