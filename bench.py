@@ -120,6 +120,14 @@ def main():
         if line["tome_fps"]:
             best = max(line["tome_fps"].values())
             line["tome_best_vs_baseline"] = round(best / REFERENCE_A100_FPS, 3)
+    # full-pipeline QA serving sidecar (script/bench_pipeline_serving.py:
+    # encode interleaved with batched decode on one chip)
+    pside = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_PIPELINE_SERVING.json")
+    if os.path.exists(pside):
+        with open(pside) as f:
+            p = json.load(f)
+        line["serving_qa_per_s"] = {k: v["qa_per_s"] for k, v in p.items()}
     print(json.dumps(line))
 
 

@@ -88,6 +88,14 @@ def parse_args():
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--port", type=int, default=7860)
     parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--serve-slots", type=int, default=0,
+                        help="N>0 decodes concurrent sessions' answers "
+                             "through an N-slot continuous batcher "
+                             "(serving.AnswerService) instead of "
+                             "serializing them; beam requests still take "
+                             "the solo path")
+    parser.add_argument("--serve-max-len", type=int, default=2048,
+                        help="batcher KV budget per slot (prompt + answer)")
     return parser.parse_args()
 
 
@@ -104,16 +112,20 @@ class Session:
 
         self.conv = CONV_instructblip_Vicuna0.copy()
         self.img_list = []
+        self.lock = threading.Lock()  # conv state is per-session serial
 
 
 MAX_SESSIONS = 16  # each session holds full video embeddings on host
 
 
-def make_handler(chat):
+def make_handler(chat, service=None):
+    """``service`` (serving.AnswerService over a ContinuousBatcher) lets
+    concurrent sessions co-decode through one shared chunk program; without
+    it, model calls serialize behind one lock (the pre-round-4 behavior)."""
     # LRU-capped: uploads from abandoned tabs would otherwise accumulate
     # video embeddings forever (nothing expires them except /api/reset)
     sessions = OrderedDict()
-    lock = threading.Lock()  # one chip: serialize model calls
+    lock = threading.Lock()  # serializes encodes (and answers if no service)
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, obj, code=200):
@@ -177,14 +189,19 @@ def make_handler(chat):
             question = req["question"]
             num_beams = int(req.get("num_beams", 1))
             temperature = float(req.get("temperature", 1.0))
-            with lock:
+            # per-session lock: turns within one session stay ordered;
+            # with a service, DIFFERENT sessions co-decode through the
+            # shared batcher instead of queueing on the global lock
+            outer = sess.lock if service is not None else lock
+            with outer:
                 chat.ask(question, sess.conv)
                 answer, _ = chat.answer(
                     conv=sess.conv, img_list=sess.img_list,
                     num_beams=num_beams, temperature=temperature,
                     do_sample=temperature > 0 and num_beams == 1,
                     max_new_tokens=int(req.get("max_new_tokens", 300)),
-                    max_length=2000,
+                    max_length=2000, service=service,
+                    seed=int(req.get("seed", 0)),
                 )
             return self._json({"answer": answer})
 
@@ -197,7 +214,15 @@ def make_handler(chat):
 def main():
     args = parse_args()
     chat = build_chat(args)
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(chat))
+    service = None
+    if args.serve_slots > 0:
+        from stllm_tpu.serving import AnswerService, ContinuousBatcher
+
+        service = AnswerService(ContinuousBatcher(
+            chat.params["llama"], chat.cfg.llama, slots=args.serve_slots,
+            max_len=args.serve_max_len))
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(chat, service=service))
     print(f"ST-LLM web demo on http://{args.host}:{args.port}/")
     server.serve_forever()
 

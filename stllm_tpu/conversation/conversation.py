@@ -307,7 +307,13 @@ class Chat:
                min_length: int = 1, top_p: float = 0.9, system: bool = True,
                repetition_penalty: float = 1.0, length_penalty: float = 1.0,
                temperature: float = 1.0, max_length: int = 2000,
-               do_sample: bool = True, seed: int = 0) -> Tuple[str, np.ndarray]:
+               do_sample: bool = True, seed: int = 0,
+               service=None) -> Tuple[str, np.ndarray]:
+        """``service`` (a serving.AnswerService) routes greedy/top-p
+        requests through the shared continuous batcher so concurrent chat
+        sessions co-decode; configs the batcher rejects (beam, the
+        simple-prompt repetition penalty, over-long prompts) fall back to
+        solo generate with identical output."""
         from stllm_tpu.models.generation import GenerationConfig, generate
 
         conv.append_message(conv.roles[1], None)
@@ -327,9 +333,16 @@ class Chat:
             temperature=temperature, repetition_penalty=repetition_penalty,
             length_penalty=length_penalty,
         )
-        out = generate(self.params["llama"], embs, llama_cfg=self.cfg.llama,
-                       gen=gen, seed=seed)
-        tokens = out[0] if isinstance(out[0], list) else out
+        tokens = None
+        if service is not None:
+            try:
+                tokens = service.answer(embs, gen, seed=seed)
+            except ValueError:
+                tokens = None  # beam/penalty/over-long: solo path below
+        if tokens is None:
+            out = generate(self.params["llama"], embs,
+                           llama_cfg=self.cfg.llama, gen=gen, seed=seed)
+            tokens = out[0] if isinstance(out[0], list) else out
         tokens = list(tokens)
         # strip leading <unk>/<s> (reference: conversation.py:245-249)
         if tokens and tokens[0] == 0:

@@ -288,3 +288,71 @@ class ContinuousBatcher:
             for req in self.step():
                 out[req.rid] = req.tokens
         return out
+
+
+class AnswerService:
+    """Thread-safe blocking front-end over a ContinuousBatcher.
+
+    Concurrent callers (e.g. web-demo request threads, one per user)
+    call :meth:`answer` and block until their tokens are ready, while a
+    single service thread advances ALL resident streams through the
+    batcher's shared decode-chunk program — co-tenant answers share every
+    weight read instead of serializing behind a chip lock. Tokens are
+    identical to solo ``generation.generate`` (the batcher's contract,
+    tests/test_serving.py), including sampled streams via the shared
+    fold_in(PRNGKey(seed), token_index) rule.
+
+    The batcher itself is NOT thread-safe; every touch happens under one
+    condition variable, and the service thread only holds it across a
+    single step() (one decode chunk), so submitters wait at most one
+    chunk (~chunk × ms) to enqueue.
+    """
+
+    def __init__(self, batcher: ContinuousBatcher):
+        import threading
+
+        self.cb = batcher
+        self._cond = threading.Condition()
+        self._results: Dict[object, List[int]] = {}
+        self._next = 0
+        self._stop = False
+        self._thread = threading.Thread(
+            target=self._loop, name="answer-service", daemon=True)
+        self._thread.start()
+
+    def close(self):
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
+        self._thread.join()
+
+    def answer(self, inputs_embeds: jax.Array,
+               gen: GenerationConfig = GenerationConfig(), *,
+               seed: int = 0) -> List[int]:
+        """Submit one request and block until its tokens are complete.
+        Raises ValueError (without blocking) for configs the batcher
+        rejects — beam/penalty/min_length/overlong — so callers can fall
+        back to solo generate."""
+        with self._cond:
+            rid = self._next
+            self._next += 1
+            self.cb.submit(rid, inputs_embeds, gen, seed=seed)  # may raise
+            self._cond.notify_all()
+            while rid not in self._results:
+                self._cond.wait()
+            return self._results.pop(rid)
+
+    def _busy(self) -> bool:
+        return bool(self.cb.queue) or any(
+            r is not None for r in self.cb.active)
+
+    def _loop(self):
+        while True:
+            with self._cond:
+                while not self._stop and not self._busy():
+                    self._cond.wait()
+                if self._stop:
+                    return
+                for req in self.cb.step():
+                    self._results[req.rid] = req.tokens
+                self._cond.notify_all()

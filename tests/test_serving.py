@@ -396,3 +396,67 @@ class TestSpeculativeServing:
             cb.submit("s", _req(1, 5),
                       GenerationConfig(max_new_tokens=4, do_sample=True,
                                        top_p=0.9, pad_to_multiple=8))
+
+
+class TestAnswerService:
+    """Threaded blocking front-end (serving.AnswerService): concurrent
+    callers get tokens identical to solo generate; rejected configs raise
+    to the caller without wedging the service thread."""
+
+    def test_concurrent_callers_token_identical(self):
+        import threading
+
+        from stllm_tpu.serving import AnswerService
+
+        params = init_llama(jax.random.PRNGKey(0), CFG)
+        gen_g = GenerationConfig(max_new_tokens=11, eos_token_id=-1,
+                                 stop_sequences=(), pad_to_multiple=8)
+        gen_s = GenerationConfig(max_new_tokens=7, eos_token_id=-1,
+                                 stop_sequences=(), pad_to_multiple=8,
+                                 do_sample=True, top_p=0.85, temperature=0.9)
+        cases = [(_req(1, 5), gen_g, 0), (_req(2, 9), gen_g, 0),
+                 (_req(3, 7), gen_s, 17), (_req(4, 12), gen_g, 0),
+                 (_req(5, 3), gen_s, 4)]
+        want = [generate(params, emb, llama_cfg=CFG, gen=g, seed=s)[0]
+                for emb, g, s in cases]
+
+        svc = AnswerService(ContinuousBatcher(params, CFG, slots=2,
+                                              max_len=64, chunk=4))
+        got = [None] * len(cases)
+        errs = []
+
+        def call(i):
+            try:
+                emb, g, s = cases[i]
+                got[i] = svc.answer(emb, g, seed=s)
+            except Exception as e:  # surface thread failures to the assert
+                errs.append((i, e))
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(len(cases))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        svc.close()
+        assert not errs, errs
+        assert got == want
+
+    def test_rejected_config_raises_in_caller(self):
+        import pytest
+
+        from stllm_tpu.serving import AnswerService
+
+        params = init_llama(jax.random.PRNGKey(0), CFG)
+        svc = AnswerService(ContinuousBatcher(params, CFG, slots=1,
+                                              max_len=32, chunk=4))
+        with pytest.raises(ValueError):
+            svc.answer(_req(1, 5),
+                       GenerationConfig(max_new_tokens=4, num_beams=3,
+                                        pad_to_multiple=8))
+        # the service still works after a rejected submit
+        gen = GenerationConfig(max_new_tokens=5, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        want = generate(params, _req(2, 6), llama_cfg=CFG, gen=gen)[0]
+        assert svc.answer(_req(2, 6), gen) == want
+        svc.close()
