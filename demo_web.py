@@ -96,6 +96,14 @@ def parse_args():
                              "the solo path")
     parser.add_argument("--serve-max-len", type=int, default=2048,
                         help="batcher KV budget per slot (prompt + answer)")
+    parser.add_argument("--prefix-kv", type=int, default=0,
+                        help="N>0 keeps the N most recently active "
+                             "sessions' KV caches alive between turns "
+                             "(generation.PrefixSession): each turn "
+                             "prefills only its delta instead of the full "
+                             "system+video+history prompt. ~2.1 GiB/session "
+                             "for 7B bf16 KV at 2048 positions. Mutually "
+                             "exclusive with --serve-slots")
     return parser.parse_args()
 
 
@@ -118,14 +126,36 @@ class Session:
 MAX_SESSIONS = 16  # each session holds full video embeddings on host
 
 
-def make_handler(chat, service=None):
+def make_handler(chat, service=None, prefix_kv=0):
     """``service`` (serving.AnswerService over a ContinuousBatcher) lets
     concurrent sessions co-decode through one shared chunk program; without
-    it, model calls serialize behind one lock (the pre-round-4 behavior)."""
+    it, model calls serialize behind one lock (the pre-round-4 behavior).
+    ``prefix_kv`` > 0 gives the N most recently asked sessions a persistent
+    generation.PrefixSession, so later turns prefill only their delta —
+    device KV memory is bounded by evicting (releasing) the least recently
+    used session's cache."""
+    assert not (service is not None and prefix_kv > 0), \
+        "--serve-slots and --prefix-kv are mutually exclusive"
     # LRU-capped: uploads from abandoned tabs would otherwise accumulate
     # video embeddings forever (nothing expires them except /api/reset)
     sessions = OrderedDict()
+    kv_lru = OrderedDict()  # sid -> PrefixSession, most recent last
     lock = threading.Lock()  # serializes encodes (and answers if no service)
+
+    def _kv_for(sid):
+        if prefix_kv <= 0:
+            return None
+        kv = kv_lru.pop(sid, None)
+        if kv is None:
+            from stllm_tpu.models.generation import PrefixSession
+
+            kv = PrefixSession(chat.params["llama"], chat.cfg.llama,
+                               max_len=2048)
+        kv_lru[sid] = kv
+        while len(kv_lru) > prefix_kv:
+            _, old = kv_lru.popitem(last=False)
+            old.release()  # free device KV; that session re-prefills
+        return kv
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, obj, code=200):
@@ -155,7 +185,12 @@ def make_handler(chat, service=None):
                 if path == "/api/ask":
                     return self._ask(json.loads(raw))
                 if path == "/api/reset":
-                    sessions.pop(json.loads(raw).get("session"), None)
+                    sid = json.loads(raw).get("session")
+                    sessions.pop(sid, None)
+                    with lock:  # never release a cache mid-generate
+                        kv = kv_lru.pop(sid, None)
+                        if kv is not None:
+                            kv.release()
                     return self._json({"ok": True})
                 return self._json({"error": "not found"}, 404)
             except Exception as e:  # surface errors to the UI, keep serving
@@ -201,6 +236,7 @@ def make_handler(chat, service=None):
                     do_sample=temperature > 0 and num_beams == 1,
                     max_new_tokens=int(req.get("max_new_tokens", 300)),
                     max_length=2000, service=service,
+                    kv_session=_kv_for(req["session"]),
                     seed=int(req.get("seed", 0)),
                 )
             return self._json({"answer": answer})
@@ -221,8 +257,9 @@ def main():
         service = AnswerService(ContinuousBatcher(
             chat.params["llama"], chat.cfg.llama, slots=args.serve_slots,
             max_len=args.serve_max_len))
-    server = ThreadingHTTPServer((args.host, args.port),
-                                 make_handler(chat, service=service))
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(chat, service=service, prefix_kv=args.prefix_kv))
     print(f"ST-LLM web demo on http://{args.host}:{args.port}/")
     server.serve_forever()
 

@@ -268,26 +268,32 @@ class Chat:
         table = self.params["llama"]["embed_tokens"]
         return table[jnp.asarray(ids, jnp.int32)][None].astype(self.cfg.llama.dtype)
 
-    def get_context_emb(self, conv: Conversation, img_list: List) -> jax.Array:
-        """Interleave text-segment embeddings with video embeddings at each
-        <ImageHere> (reference: conversation.py:301-320)."""
+    def _context_segment_ids(self, conv: Conversation,
+                             img_list: List) -> List[List[int]]:
+        """Tokenize the prompt's text segments around each <ImageHere>
+        (shared by embedding assembly and PrefixSession item building)."""
         prompt = conv.get_prompt()
         segs = prompt.split("<ImageHere>")
         assert len(segs) == len(img_list) + 1, \
             "Unmatched numbers of image placeholders and images."
-        seg_embs = [
-            self._embed_ids(_encode(self.llama_tokenizer, seg, i == 0))
-            for i, seg in enumerate(segs)
-        ]
+        return [_encode(self.llama_tokenizer, seg, i == 0)
+                for i, seg in enumerate(segs)]
+
+    def _assemble_context(self, seg_ids: List[List[int]],
+                          img_list: List) -> jax.Array:
+        seg_embs = [self._embed_ids(ids) for ids in seg_ids]
         mixed = [emb for pair in zip(seg_embs[:-1], img_list) for emb in pair]
         mixed.append(seg_embs[-1])
         mixed = [m.astype(self.cfg.llama.dtype) for m in mixed]
         return jnp.concatenate(mixed, axis=1)
 
-    def get_context_emb_sim(self, conv: Conversation, img_list: List,
-                            system: bool = True) -> jax.Array:
-        """Simple mode: [video tokens] + [system###Human: q ###Assistant: ]
-        (reference: conversation.py:322-340)."""
+    def get_context_emb(self, conv: Conversation, img_list: List) -> jax.Array:
+        """Interleave text-segment embeddings with video embeddings at each
+        <ImageHere> (reference: conversation.py:301-320)."""
+        return self._assemble_context(
+            self._context_segment_ids(conv, img_list), img_list)
+
+    def _sim_text_ids(self, conv: Conversation, system: bool) -> List[int]:
         question = conv.messages[0][1]
         # the reference splits only on '</Video> ' (its demos are video-only);
         # accept the image tag too so simple-mode image QA works
@@ -297,7 +303,13 @@ class Chat:
                 break
         sys_txt = conv.system if system else ""
         text = sys_txt + "###Human: " + question + " ###Assistant: "
-        seg = self._embed_ids(_encode(self.llama_tokenizer, text, True))
+        return _encode(self.llama_tokenizer, text, True)
+
+    def get_context_emb_sim(self, conv: Conversation, img_list: List,
+                            system: bool = True) -> jax.Array:
+        """Simple mode: [video tokens] + [system###Human: q ###Assistant: ]
+        (reference: conversation.py:322-340)."""
+        seg = self._embed_ids(self._sim_text_ids(conv, system))
         return jnp.concatenate([img_list[0].astype(seg.dtype), seg], axis=1)
 
     # -- generation --------------------------------------------------------
@@ -308,19 +320,33 @@ class Chat:
                repetition_penalty: float = 1.0, length_penalty: float = 1.0,
                temperature: float = 1.0, max_length: int = 2000,
                do_sample: bool = True, seed: int = 0,
-               service=None) -> Tuple[str, np.ndarray]:
+               service=None, kv_session=None) -> Tuple[str, np.ndarray]:
         """``service`` (a serving.AnswerService) routes greedy/top-p
         requests through the shared continuous batcher so concurrent chat
         sessions co-decode; configs the batcher rejects (beam, the
         simple-prompt repetition penalty, over-long prompts) fall back to
-        solo generate with identical output."""
+        solo generate with identical output.
+
+        ``kv_session`` (a generation.PrefixSession, one per conversation)
+        keeps the conversation's KV cache alive across turns so each turn
+        prefills only its delta (the previous answer + new question) instead
+        of the full system + video + history prompt — same tokens either
+        way. Configs the session rejects fall back to solo generate. Used
+        only when no ``service`` is given (the batcher owns its own cache)."""
         from stllm_tpu.models.generation import GenerationConfig, generate
 
         conv.append_message(conv.roles[1], None)
         if conv.instruction:
-            embs = self.get_context_emb(conv, img_list)
+            seg_ids = self._context_segment_ids(conv, img_list)
+            embs = self._assemble_context(seg_ids, img_list)
+            sim_imgs = img_list
         else:
-            embs = self.get_context_emb_sim(conv, img_list, system=system)
+            # sim items: [] text before the video block, then the one segment
+            seg_ids = [[], self._sim_text_ids(conv, system)]
+            sim_imgs = img_list[:1]
+            embs = jnp.concatenate(
+                [img_list[0].astype(self.cfg.llama.dtype),
+                 self._embed_ids(seg_ids[1])], axis=1)
             repetition_penalty = 1.5  # reference: conversation.py:226
 
         current_max_len = embs.shape[1] + max_new_tokens
@@ -339,6 +365,14 @@ class Chat:
                 tokens = service.answer(embs, gen, seed=seed)
             except ValueError:
                 tokens = None  # beam/penalty/over-long: solo path below
+        elif kv_session is not None:
+            from stllm_tpu.models.generation import PrefixSession
+
+            items = PrefixSession.items_for(seg_ids, sim_imgs)[begin_idx:]
+            try:
+                tokens = kv_session.generate(embs, items, gen, seed=seed)
+            except ValueError:
+                tokens = None  # beam/over-budget: solo path below
         if tokens is None:
             out = generate(self.params["llama"], embs,
                            llama_cfg=self.cfg.llama, gen=gen, seed=seed)

@@ -66,6 +66,28 @@ def _prefill(params, embeds, mask, cfg: LlamaConfig, max_len: int):
     return lm_head(params, last_hidden)[:, 0], cache
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
+def _prefill_delta(params, embeds, mask, cache: KVCache, cfg: LlamaConfig):
+    """Prefill a (right-padded) chunk of NEW tokens into an EXISTING cache —
+    the incremental half of multi-turn prefix reuse (PrefixSession). Writes
+    land at each row's ``cache.length`` offset with absolute RoPE positions;
+    attention is causal against the cache (kv_pos <= cache_len + i), so the
+    result equals prefilling the full concatenated prompt from scratch.
+
+    Safe-by-construction staleness rule (same invariant the padded-prompt
+    decode path relies on): every kv position <= a real query's absolute
+    position has already been written this turn or a previous one, and
+    positions past ``cache.length + valid`` are only ever attended by PAD
+    queries, whose outputs are discarded (logits are taken at the last valid
+    position). Returns (last-valid-position logits (B, V), updated cache)."""
+    hidden, cache = llama_forward(
+        params, inputs_embeds=embeds, attention_mask=mask, cache=cache,
+        cfg=cfg)
+    last = jnp.clip(mask.sum(axis=-1).astype(jnp.int32) - 1, 0)
+    last_hidden = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
+    return lm_head(params, last_hidden)[:, 0], cache
+
+
 def _decode_step_impl(params, token_ids, cache: KVCache, cfg: LlamaConfig):
     embeds = params["embed_tokens"][token_ids][:, None].astype(cfg.dtype)
     hidden, cache = llama_forward(params, inputs_embeds=embeds, cache=cache, cfg=cfg)
@@ -331,10 +353,18 @@ def generate(
     if gen.repetition_penalty == 1.0 and gen.min_length <= 1:
         if not gen.do_sample:
             return _generate_greedy_ondevice(params, logits, cache,
-                                             llama_cfg, gen, b)
+                                             llama_cfg, gen, b)[0]
         return _generate_sample_ondevice(params, logits, cache, llama_cfg,
-                                         gen, b, seed)
+                                         gen, b, seed)[0]
+    return _generate_host_loop(params, logits, cache, llama_cfg, gen, b,
+                               seed)[0]
 
+
+def _generate_host_loop(params, logits, cache, llama_cfg: LlamaConfig,
+                        gen: GenerationConfig, b: int, seed: int):
+    """Per-token host loop for configs that need full logits on host
+    (repetition penalty reshuffles ranks; min_length masks eos). Returns
+    (generated, final cache) like the on-device loops."""
     rng = np.random.default_rng(seed)
     generated: List[List[int]] = [[] for _ in range(b)]
     done = [False] * b
@@ -358,7 +388,7 @@ def generate(
             break
         cur = jnp.asarray(nxt, jnp.int32)
         logits, cache = _decode_step(params, cur, cache, llama_cfg)
-    return generated
+    return generated, cache
 
 
 def _generate_greedy_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
@@ -372,7 +402,10 @@ def _generate_greedy_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
     the between-chunk host checks can't change the outcome, so the whole
     budget runs as ONE device call — each blocking host round-trip costs
     ~30 ms through the axon tunnel (~2 ms/token at chunk=16 on a 64-token
-    run, script/profile_decode.py)."""
+    run, script/profile_decode.py).
+
+    Returns (generated, final cache) — the cache is what PrefixSession
+    persists across chat turns."""
     state = {"cur": jnp.argmax(logits, axis=-1).astype(jnp.int32),
              "cache": cache}
 
@@ -382,7 +415,8 @@ def _generate_greedy_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
         state["cur"] = toks[:, -1]
         return toks
 
-    return _chunked_decode_loop(b, gen, state["cur"], run_chunk, chunk)
+    out = _chunked_decode_loop(b, gen, state["cur"], run_chunk, chunk)
+    return out, state["cache"]
 
 
 def _chunked_decode_loop(b, gen: GenerationConfig, first, run_chunk,
@@ -437,7 +471,9 @@ def _generate_sample_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
     Row r draws from `fold_in(PRNGKey(seed + r), token_index)` — exactly
     the stream the continuous batcher uses for a request with seed+r, so a
     single-row generate() and a ContinuousBatcher request with the same
-    seed return the SAME tokens (pinned in tests/test_serving.py)."""
+    seed return the SAME tokens (pinned in tests/test_serving.py).
+
+    Returns (generated, final cache) like _generate_greedy_ondevice."""
     keys = _build_row_keys(jnp.int32(seed), b)
     temp = jnp.full((b,), gen.temperature, jnp.float32)
     topp = jnp.full((b,), gen.top_p, jnp.float32)
@@ -455,7 +491,157 @@ def _generate_sample_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
         state["count"] += n
         return toks
 
-    return _chunked_decode_loop(b, gen, first, run_chunk, chunk)
+    out = _chunked_decode_loop(b, gen, first, run_chunk, chunk)
+    return out, state["cache"]
+
+
+class PrefixSession:
+    """Multi-turn KV reuse for one conversation (vLLM-style prefix caching).
+
+    Every chat turn re-prefills the FULL conversation — system text, the
+    ~600-token video embedding block, and all previous turns — both in the
+    reference (HF ``generate`` from scratch per turn,
+    reference: stllm/conversation/conversation.py:222-243) and in plain
+    ``generate``. A PrefixSession keeps the conversation's KV cache alive
+    between turns: the next turn matches its token stream against what is
+    already cached (host-side, per-token identity — text tokens by id, video
+    embeddings by array identity) and prefills ONLY the unmatched tail
+    (typically the previous answer + the new question, tens of tokens
+    instead of thousands).
+
+    Correctness: the reused prefix is validated token-by-token, so a changed
+    prompt (different video, edited history, ``max_length`` truncation
+    shifting the window) degrades to a full re-prefill, never a wrong
+    answer. Resetting ``cache.length`` to the matched length makes every
+    stale position unreachable — a kv position is only attendable once a
+    real token has been (re)written there this turn (see _prefill_delta).
+
+    Numerics: the delta prefill computes the SAME attention sums as a
+    from-scratch prefill (masked-out lanes contribute exactly 0.0), but
+    through a differently-shaped program; in fp32 results are bitwise
+    identical (pinned in tests/test_prefix_session.py), in bf16 tie-flips
+    on sub-rounding-error logit margins are possible across program shapes
+    (the spec-decode exactness class, see probe_spec_divergence.py).
+
+    One session holds one (1, max_len) cache: ~2.1 GiB for 7B bf16 at 2048
+    positions, ~1.05 GiB with ``cfg.kv_int8`` — budget accordingly
+    (demo_web's --prefix-kv caps live sessions with an LRU).
+    """
+
+    def __init__(self, params, llama_cfg: LlamaConfig, max_len: int = 2048):
+        self.params = params
+        self.cfg = llama_cfg
+        self.max_len = max_len
+        self.cache: Optional[KVCache] = None
+        self.items: List = []      # per-position identity of cached tokens
+        self.last_reused = 0       # introspection (tests/bench)
+
+    class _Ref:
+        """Identity wrapper for a video-embedding array: compares by ``is``
+        (array values are never compared — embedding floats aren't hashable
+        identity) and keeps the array alive while cached items reference it,
+        so a recycled ``id()`` can never alias a dropped upload."""
+
+        __slots__ = ("a",)
+
+        def __init__(self, a):
+            self.a = a
+
+        def __eq__(self, other):
+            return isinstance(other, PrefixSession._Ref) and self.a is other.a
+
+        def __hash__(self):
+            return id(self.a)
+
+    @staticmethod
+    def items_for(segment_ids: Sequence[Sequence[int]],
+                  img_list: Sequence) -> List:
+        """Flatten interleaved [text ids, video, text ids, ...] into
+        per-token identity items. Text tokens compare by id; video-embedding
+        tokens by the embedding array's identity + position (uploads are
+        held per-session, so identity is stable across turns)."""
+        items: List = []
+        for i, ids in enumerate(segment_ids):
+            items.extend(("t", int(t)) for t in ids)
+            if i < len(img_list):
+                ref = PrefixSession._Ref(img_list[i])
+                items.extend(("v", ref, j)
+                             for j in range(img_list[i].shape[1]))
+        return items
+
+    def generate(self, inputs_embeds: jax.Array, items: Sequence,
+                 gen: GenerationConfig = GenerationConfig(), *,
+                 seed: int = 0) -> List[int]:
+        """One turn: delta-prefill against the cached prefix, decode, and
+        retain the updated cache + token record for the next turn. Output is
+        the same tokens ``generate`` returns for the full prompt — greedy
+        and sampled run the chunked on-device loops; repetition-penalty /
+        min_length configs (the simple-prompt chat mode, reference
+        conversation.py:220) run the per-token host loop, still with the
+        delta prefill. Raises ValueError for configs the session can't
+        serve (beam, prompt + budget past max_len) — callers fall back to
+        solo generate, mirroring AnswerService's contract."""
+        b, s, _ = inputs_embeds.shape
+        if b != 1:
+            raise ValueError("PrefixSession is per-conversation (batch 1)")
+        if gen.num_beams > 1:
+            raise ValueError("beam search needs solo generate")
+        if s != len(items):
+            raise ValueError(f"items/embeds length mismatch: {len(items)} "
+                             f"vs {s}")
+        if s + gen.max_new_tokens > self.max_len:
+            raise ValueError(f"prompt {s} + budget {gen.max_new_tokens} "
+                             f"exceeds session max_len {self.max_len}")
+
+        items = list(items)
+        p = 0
+        for a, bb in zip(self.items, items):
+            if a != bb:
+                break
+            p += 1
+        # the last prompt position is always recomputed: its logits seed
+        # the decode loop (a fully-cached prompt has no fresh logits)
+        p = min(p, s - 1)
+        if self.cache is None:
+            self.cache = init_kv_cache(self.cfg, 1, self.max_len)
+            p = 0
+        self.last_reused = p
+
+        delta, mask = _pad_prompt(
+            inputs_embeds[:, p:],
+            jnp.ones((1, s - p), jnp.int32), gen.pad_to_multiple)
+        cache = self.cache._replace(
+            length=jnp.full((1,), p, jnp.int32))
+        self.cache = None  # donated below; never hold a stale handle
+        logits, cache = _prefill_delta(self.params, delta, mask, cache,
+                                       self.cfg)
+
+        if gen.repetition_penalty != 1.0 or gen.min_length > 1:
+            out, cache = _generate_host_loop(
+                self.params, logits, cache, self.cfg, gen, 1, seed)
+        elif not gen.do_sample:
+            out, cache = _generate_greedy_ondevice(
+                self.params, logits, cache, self.cfg, gen, 1)
+        else:
+            out, cache = _generate_sample_ondevice(
+                self.params, logits, cache, self.cfg, gen, 1, seed)
+        self.cache = cache
+        generated = out[0]
+        # tokens fed back into the decode loop have their KV in the cache;
+        # the final emitted token may not have been consumed — drop it from
+        # the reusable record (one token of reuse, never a stale read)
+        self.items = items + [("t", int(t)) for t in generated[:-1]]
+        return list(generated)
+
+    def release(self) -> None:
+        """Free the device cache now (LRU eviction in demo_web) — the next
+        turn re-prefills from scratch."""
+        if self.cache is not None:
+            for leaf in jax.tree_util.tree_leaves(self.cache):
+                leaf.delete()
+        self.cache = None
+        self.items = []
+        self.last_reused = 0
 
 
 # ---------------------------------------------------------------------------

