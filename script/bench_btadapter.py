@@ -74,9 +74,10 @@ def main():
     # unmerged via the origin map — models/btadapter.py; schedules match
     # script/bench_tome.py's plain-ViT levels, accuracy envelope in
     # TOME_EQUIV.json)
-    levels = {"mild": ((13, 192), (26, 144)),
-              "medium": ((13, 160), (26, 96)),
-              "aggressive": ((10, 144), (20, 88), (30, 56))}
+    from stllm_tpu.ops.tome import MERGE_LEVELS, level_kwargs
+
+    levels = {k: v["merge_schedule"] for k, v in MERGE_LEVELS.items()
+              if "temporal_schedule" not in v and k != "off"}
     result["tome_fps"] = {}
     for name, sched in levels.items():
         c = dataclasses.replace(cfg, merge_schedule=sched)
@@ -88,9 +89,8 @@ def main():
     # BTAdapter output is full-res per-frame by construction (the branch
     # taps unmerge through the origin map), so only the trunk-fold part of
     # script/bench_tome.py's T_LEVELS applies.
-    t_levels = {"t_mild": ((8, 2, 320),),
-                "t_medium": ((8, 2, 288), (20, 2, 320)),
-                "t_aggressive": ((6, 2, 288), (16, 2, 288), (28, 2, 320))}
+    t_levels = {k: level_kwargs(k, post_trunk=False)["temporal_schedule"]
+                for k in MERGE_LEVELS if "temporal_schedule" in MERGE_LEVELS[k]}
     for name, tsched in t_levels.items():
         c = dataclasses.replace(cfg, temporal_schedule=tsched)
         f = measure(c)

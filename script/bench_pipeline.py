@@ -143,19 +143,12 @@ def main():
     # TOME_EQUIV.json, throughput ladder BENCH_TOME.json)
     tome = next((a.split("=", 1)[1] for a in sys.argv
                  if a.startswith("--tome=")), None)
-    TOME = {
-        "medium": dict(merge_schedule=((13, 160), (26, 96))),
-        "aggressive": dict(merge_schedule=((10, 144), (20, 88), (30, 56))),
-        "t_medium": dict(temporal_schedule=((8, 2, 288), (20, 2, 320)),
-                         merge_schedule=((39, 96),)),
-        "t_aggressive": dict(temporal_schedule=((6, 2, 288), (16, 2, 288),
-                                                (28, 2, 320)),
-                             merge_schedule=((39, 64),)),
-    }
     cfg = STLLMConfig(vit=dataclasses.replace(EVA_VIT_G, gelu_approx=True))
     if tome:
+        from stllm_tpu.ops.tome import level_kwargs
+
         cfg = dataclasses.replace(
-            cfg, vit=dataclasses.replace(cfg.vit, **TOME[tome]))
+            cfg, vit=dataclasses.replace(cfg.vit, **level_kwargs(tome)))
     if int8:
         cfg = dataclasses.replace(
             cfg, llama=dataclasses.replace(cfg.llama, kv_int8=True))

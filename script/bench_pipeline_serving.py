@@ -37,14 +37,8 @@ FRAMES = 16
 PREFIX, SUFFIX, ANSWER = 64, 32, 16
 N_REQUESTS = 16
 
-TOME = {
-    "medium": dict(merge_schedule=((13, 160), (26, 96))),
-    "t_medium": dict(temporal_schedule=((8, 2, 288), (20, 2, 320)),
-                     merge_schedule=((39, 96),)),
-    "t_aggressive": dict(temporal_schedule=((6, 2, 288), (16, 2, 288),
-                                            (28, 2, 320)),
-                         merge_schedule=((39, 64),)),
-}
+# named schedules: ops/tome.py:MERGE_LEVELS (single source across scripts)
+from stllm_tpu.ops.tome import level_kwargs as _tome_level_kwargs
 
 
 def build(tome=None):
@@ -55,7 +49,7 @@ def build(tome=None):
                       video_input="all")
     if tome:
         cfg = dataclasses.replace(
-            cfg, vit=dataclasses.replace(cfg.vit, **TOME[tome]))
+            cfg, vit=dataclasses.replace(cfg.vit, **_tome_level_kwargs(tome)))
     params = init_stllm(jax.random.PRNGKey(0), cfg, init_llama_params=True)
     params["vit"] = quantize_vit_params(params["vit"], free_dense=True)
     params["llama"] = quantize_llama_params_int4(

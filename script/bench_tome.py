@@ -21,25 +21,20 @@ from stllm_tpu.models.stllm import STLLMConfig, encode_img, init_stllm
 from stllm_tpu.models.vit import (
     EVA_VIT_G, calibrate_vit_scales, quantize_vit_params)
 
+from stllm_tpu.ops.tome import MERGE_LEVELS
+
 FRAMES = 64
-# spatial levels: merge_schedule ((block, tokens_after), ...)
-LEVELS = {
-    "off": (),
-    "mild": ((13, 192), (26, 144)),
-    "medium": ((13, 160), (26, 96)),
-    "aggressive": ((10, 144), (20, 88), (30, 56)),
-}
-# temporal (cross-frame) levels: (temporal_schedule, post-trunk
-# merge_schedule). Folds halve the frame rows; tokens/frame-equivalent at
-# each stage are the honest FLOP knob (e.g. t_medium: 257 -> 144 -> 80).
-# The post-trunk entry re-merges the unfolded per-frame output spatially so
-# the Q-Former cross-attends over ~the same token count as the spatial
-# levels (otherwise temporal mode pays full 257-token Q-Former cost).
-T_LEVELS = {
-    "t_mild": (((8, 2, 320),), ((39, 128),)),
-    "t_medium": (((8, 2, 288), (20, 2, 320)), ((39, 96),)),
-    "t_aggressive": (((6, 2, 288), (16, 2, 288), (28, 2, 320)), ((39, 64),)),
-}
+# Named schedules live in ops/tome.py:MERGE_LEVELS (single source across
+# all bench/equivalence scripts). Spatial levels: merge_schedule
+# ((block, tokens_after), ...). Temporal levels: cross-frame folds that
+# halve the frame rows (tokens/frame-equivalent is the honest FLOP knob,
+# e.g. t_medium: 257 -> 144 -> 80) plus a post-trunk re-merge so the
+# Q-Former cross-attends over ~the same token count as the spatial levels.
+LEVELS = {k: v["merge_schedule"] for k, v in MERGE_LEVELS.items()
+          if "temporal_schedule" not in v and k != "off"}
+LEVELS = {"off": (), **LEVELS}
+T_LEVELS = {k: (v["temporal_schedule"], v["merge_schedule"])
+            for k, v in MERGE_LEVELS.items() if "temporal_schedule" in v}
 
 
 def measure(cfg, params, frames, q_ids, q_mask, iters):

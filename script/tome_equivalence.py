@@ -44,24 +44,19 @@ PREFIX_TOKENS = 64
 SUFFIX_TOKENS = 32
 ANSWER_TOKENS = 16
 
-# staged schedules (ops/tome.py): (block_idx, tokens_after) applied before
-# that block of the 39-deep trunk. Levels trade FLOPs for fidelity; average
-# token counts 257 -> ~198 / ~171 / ~138 (8-aligned: +6-10% vs odd sizes).
-LEVELS = {
-    "mild": ((13, 192), (26, 144)),
-    "medium": ((13, 160), (26, 96)),
-    "aggressive": ((10, 144), (20, 88), (30, 56)),
-}
+# Named schedules come from ops/tome.py:MERGE_LEVELS — the single source
+# shared with every throughput bench, so this accuracy envelope always
+# describes the exact schedules that were measured. Spatial levels:
+# (block_idx, tokens_after) staged in-trunk merges. Temporal levels:
+# cross-frame folds (which exploit adjacent-frame redundancy — present in
+# the synthetic drifting video, absent in the adversarial iid-noise arm)
+# plus a post-trunk re-merge.
+from stllm_tpu.ops.tome import MERGE_LEVELS
 
-# temporal (cross-frame) levels: (temporal_schedule, post-trunk re-merge) —
-# matches script/bench_tome.py's T_LEVELS. Folds exploit adjacent-frame
-# redundancy, which the synthetic drifting video actually has (and iid noise
-# does not — the noise arm is the adversarial floor for these).
-T_LEVELS = {
-    "t_mild": (((8, 2, 320),), ((39, 128),)),
-    "t_medium": (((8, 2, 288), (20, 2, 320)), ((39, 96),)),
-    "t_aggressive": (((6, 2, 288), (16, 2, 288), (28, 2, 320)), ((39, 64),)),
-}
+LEVELS = {k: v["merge_schedule"] for k, v in MERGE_LEVELS.items()
+          if "temporal_schedule" not in v and k != "off"}
+T_LEVELS = {k: (v["temporal_schedule"], v["merge_schedule"])
+            for k, v in MERGE_LEVELS.items() if "temporal_schedule" in v}
 
 
 def synth_video(rng, t, size):

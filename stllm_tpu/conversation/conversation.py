@@ -344,9 +344,7 @@ class Chat:
             # sim items: [] text before the video block, then the one segment
             seg_ids = [[], self._sim_text_ids(conv, system)]
             sim_imgs = img_list[:1]
-            embs = jnp.concatenate(
-                [img_list[0].astype(self.cfg.llama.dtype),
-                 self._embed_ids(seg_ids[1])], axis=1)
+            embs = self._assemble_context(seg_ids, sim_imgs)
             repetition_penalty = 1.5  # reference: conversation.py:226
 
         current_max_len = embs.shape[1] + max_new_tokens

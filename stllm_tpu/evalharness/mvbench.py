@@ -459,7 +459,20 @@ def infer_mvbench_serving(
                 exhausted = True
                 break
             frames, pre, suf, q_ids = build(example)
-            srv.submit(rid, frames, pre, suf, gen, qformer_text_ids=q_ids)
+            try:
+                srv.submit(rid, frames, pre, suf, gen,
+                           qformer_text_ids=q_ids)
+            except ValueError:
+                # prompt exceeds the server's max_len (e.g. many segments
+                # at a small serving_max_len): run this one sample through
+                # the per-sample path instead of aborting the whole eval
+                yield example, infer_mvbench(
+                    chat, example, system=system,
+                    question_prompt=question_prompt,
+                    answer_prompt=answer_prompt, return_prompt=return_prompt,
+                    system_llm=system_llm, all_token=all_token,
+                    ask_simple=ask_simple, max_new_tokens=max_new_tokens)
+                continue
             pending[rid] = example
         if not pending:
             return

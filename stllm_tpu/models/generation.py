@@ -589,9 +589,16 @@ class PrefixSession:
         if s != len(items):
             raise ValueError(f"items/embeds length mismatch: {len(items)} "
                              f"vs {s}")
-        if s + gen.max_new_tokens > self.max_len:
-            raise ValueError(f"prompt {s} + budget {gen.max_new_tokens} "
-                             f"exceeds session max_len {self.max_len}")
+        # write extents: a from-scratch prefill (p=0) writes pad(s) slots,
+        # decode writes [s, s + budget) — both must fit the cache buffer
+        # (dynamic_update_slice would silently CLAMP an overflowing delta
+        # start onto committed positions, corrupting the cache)
+        pad_m = gen.pad_to_multiple
+        s_pad = s + (-s) % pad_m
+        if max(s_pad, s + gen.max_new_tokens) > self.max_len:
+            raise ValueError(f"prompt {s} (padded {s_pad}) + budget "
+                             f"{gen.max_new_tokens} exceeds session "
+                             f"max_len {self.max_len}")
 
         items = list(items)
         p = 0
@@ -602,6 +609,11 @@ class PrefixSession:
         # the last prompt position is always recomputed: its logits seed
         # the decode loop (a fully-cached prompt has no fresh logits)
         p = min(p, s - 1)
+        # the delta pads to pad_to_multiple, so its write span is
+        # [p, p + pad(s - p)); drop matched tokens until it fits max_len
+        # (terminates: p = 0 fits by the s_pad check above)
+        while p > 0 and p + (s - p) + (-(s - p)) % pad_m > self.max_len:
+            p -= 1
         if self.cache is None:
             self.cache = init_kv_cache(self.cfg, 1, self.max_len)
             p = 0

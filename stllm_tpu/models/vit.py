@@ -466,6 +466,16 @@ def vit_forward(params: Dict, images: jax.Array, cfg: ViTConfig, *,
 
     schedule = dict(cfg.merge_schedule)
     folds = {blk: (g, m) for blk, g, m in cfg.temporal_schedule}
+    depth = len(params["blocks"])
+    # a schedule entry past the trunk would otherwise be silently skipped
+    # and the bench/eval would report numbers for a DIFFERENT schedule than
+    # configured (btadapter_forward has the matching guard)
+    assert all(0 <= k <= depth for k in schedule), (
+        f"merge_schedule block indices must be in [0, {depth}] "
+        f"(== {depth} means post-trunk); got {sorted(schedule)}")
+    assert all(0 <= k < depth for k in folds), (
+        f"temporal_schedule block indices must be in [0, {depth}); "
+        f"got {sorted(folds)}")
     origin = None
     if schedule or folds:
         from stllm_tpu.ops.tome import (

@@ -42,11 +42,49 @@ gathers back through the map.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as _np
+
+# Named, MEASURED merge levels for EVA-ViT-g (depth 39, 257 tokens/frame).
+# This table is THE single source for every bench / equivalence script
+# (script/bench_tome.py, tome_equivalence.py, bench_pipeline*.py,
+# bench_btadapter.py): the accuracy envelope in TOME_EQUIV.json is only
+# valid for the exact schedules the throughput numbers were measured at,
+# so the schedules must never drift apart between scripts.
+#   merge_schedule   — ((block, tokens_after), ...); block == 39 (== depth)
+#                      is the post-trunk spatial re-merge feeding the
+#                      Q-Former fewer tokens.
+#   temporal_schedule — ((block, fold_group, tokens_after), ...) cross-frame
+#                      folds (see fold_frames).
+MERGE_LEVELS: Dict[str, Dict[str, tuple]] = {
+    "off": {},
+    "mild": {"merge_schedule": ((13, 192), (26, 144))},
+    "medium": {"merge_schedule": ((13, 160), (26, 96))},
+    "aggressive": {"merge_schedule": ((10, 144), (20, 88), (30, 56))},
+    "t_mild": {"temporal_schedule": ((8, 2, 320),),
+               "merge_schedule": ((39, 128),)},
+    "t_medium": {"temporal_schedule": ((8, 2, 288), (20, 2, 320)),
+                 "merge_schedule": ((39, 96),)},
+    "t_aggressive": {"temporal_schedule": ((6, 2, 288), (16, 2, 288),
+                                           (28, 2, 320)),
+                     "merge_schedule": ((39, 64),)},
+}
+
+
+def level_kwargs(level: str, *, post_trunk: bool = True) -> Dict[str, tuple]:
+    """ViTConfig field overrides for a named merge level ('off' -> {}).
+
+    ``post_trunk=False`` drops the post-trunk spatial re-merge of the
+    temporal levels — the BTAdapter parity config skips it because its
+    branch output is full-res per-frame by construction (the branch taps
+    unmerge through the origin map, models/btadapter.py)."""
+    kw = dict(MERGE_LEVELS[level])
+    if not post_trunk and "temporal_schedule" in kw:
+        kw.pop("merge_schedule", None)
+    return kw
 
 
 def bipartite_merge(

@@ -117,7 +117,7 @@ class VideoQAServer:
         # surface bad generation configs / over-long prompts at submit
         # time (the batcher re-checks embeddings length at admit)
         t = frames.shape[1]
-        v = self._video_tokens(t)
+        v = self.cfg.num_video_tokens(t)
         s = prefix_ids.shape[1] + v + suffix_ids.shape[1]
         s_pad = s + (-s) % gen.pad_to_multiple
         if s_pad + gen.max_new_tokens > self.batcher.max_len:
@@ -128,16 +128,6 @@ class VideoQAServer:
         self.encode_queue.append(QARequest(
             rid, frames, prefix_ids, suffix_ids, qformer_text_ids,
             qformer_text_mask, gen, seed))
-
-    def _video_tokens(self, t: int) -> int:
-        cfg = self.cfg
-        if t == 1:
-            return cfg.num_query
-        if cfg.video_input == "mean":
-            return cfg.num_query
-        if cfg.video_input == "residual":
-            return cfg.residual_size * cfg.num_query
-        return t * cfg.num_query
 
     def _free_slots(self) -> int:
         b = self.batcher

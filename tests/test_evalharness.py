@@ -212,6 +212,24 @@ def test_serving_matches_sequential(bench_dir, chat, tmp_path):
                if k != "Total Acc") == 3
 
 
+def test_serving_overlong_prompt_falls_back(bench_dir, chat):
+    """A sample whose prompt exceeds serving_max_len runs through the
+    per-sample path instead of aborting the whole eval; every sample still
+    gets the same prediction as infer_mvbench."""
+    from stllm_tpu.evalharness.mvbench import infer_mvbench_serving
+
+    anno, media, data_list = bench_dir
+    ds = MVBenchDataset(anno, media, data_list, num_segments=4, resolution=28)
+    samples = [ds[i] for i in range(3)]
+    want = {s["question"]: infer_mvbench(chat, s, max_new_tokens=6)
+            for s in samples}
+    # max_len too small for any prompt (video tokens alone exceed it):
+    # everything falls back, nothing is lost, predictions unchanged
+    got = {ex["question"]: pred for ex, pred in infer_mvbench_serving(
+        chat, samples, slots=2, max_len=32, chunk=4, max_new_tokens=6)}
+    assert got == want
+
+
 def test_infer_simple_mode(bench_dir, chat):
     anno, media, data_list = bench_dir
     ds = MVBenchDataset(anno, media, data_list, num_segments=4, resolution=28)

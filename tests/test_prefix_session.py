@@ -168,6 +168,43 @@ class TestPrefixSession:
         assert got == want
         assert reused[1] > 0 and reused[2] > reused[1]
 
+    def test_padded_delta_near_max_len_stays_exact(self):
+        """A short delta right at the cache boundary pads PAST max_len
+        (pad_to_multiple rounding); the session must drop matched tokens
+        until the padded write span fits instead of letting
+        dynamic_update_slice clamp the write onto committed positions
+        (silent KV corruption). Tokens must equal solo generate."""
+        params = init_llama(jax.random.PRNGKey(23), CFG)
+        gen = GenerationConfig(max_new_tokens=2, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        sess = PrefixSession(params, CFG, max_len=48)
+        emb1 = _emb(24, 33)
+        items1 = _titems(range(100, 133))
+        ans1 = sess.generate(emb1, items1, gen)
+        # turn 2: history grows to s=46; the matched prefix p=34 would
+        # write a 16-slot padded delta to 50 > 48 without the guard
+        q = list(range(300, 311))
+        emb2 = jnp.concatenate(
+            [emb1, _embed(params, ans1), _embed(params, q)], axis=1)
+        items2 = items1 + _titems(ans1) + _titems(q)
+        assert emb2.shape[1] == 46
+        want = generate(params, emb2, llama_cfg=CFG, gen=gen)[0]
+        assert sess.generate(emb2, items2, gen) == want
+        assert 0 < sess.last_reused <= 32  # reduced so p + pad(s-p) <= 48
+
+    def test_padded_prompt_past_max_len_raises(self):
+        """Even when s + budget fits, a from-scratch prefill writes pad(s)
+        slots; reject when that alone exceeds max_len."""
+        params = init_llama(jax.random.PRNGKey(25), CFG)
+        sess = PrefixSession(params, CFG, max_len=50)
+        emb = _emb(26, 49)
+        items = _titems(range(100, 149))
+        with pytest.raises(ValueError):  # pad(49) = 56 > 50
+            sess.generate(emb, items,
+                          GenerationConfig(max_new_tokens=1, eos_token_id=-1,
+                                           stop_sequences=(),
+                                           pad_to_multiple=8))
+
     def test_release_frees_and_recovers(self):
         params = init_llama(jax.random.PRNGKey(17), CFG)
         gen = GenerationConfig(max_new_tokens=5, eos_token_id=-1,
