@@ -249,6 +249,74 @@ def _first_token_sampled(logits, seed, temperature, top_p):
     return tok, key
 
 
+def _penalize_logits(lg: jax.Array, seen: jax.Array,
+                     penalty: jax.Array) -> jax.Array:
+    """HF RepetitionPenaltyLogitsProcessor rule on raw logits: previously
+    generated tokens (``seen`` (B, V) bool) have positive logits divided by
+    the penalty and negative ones multiplied. ``penalty`` (B,) f32 — 1.0 is
+    the exact identity, so mixed batches need no gating (reference forces
+    1.5 in the simple-prompt chat mode, conversation.py:226)."""
+    pen = penalty[:, None]
+    return jnp.where(seen, jnp.where(lg < 0, lg * pen, lg / pen), lg)
+
+
+def _mask_min_length(lg: jax.Array, step: jax.Array, min_len: jax.Array,
+                     eos: jax.Array) -> jax.Array:
+    """-inf the eos column for rows whose emitted-token index ``step`` (B,)
+    is still below ``min_len`` (B,). ``eos`` (B,) int32; a negative id
+    matches no column (eos disabled). Mirrors the host reference loop's
+    ``step < min_length`` check, which fires at step 0 even for the default
+    min_length=1 (same rule the device beam pins, _beam_chunk_device)."""
+    col = jnp.arange(lg.shape[-1])[None, :] == eos[:, None]
+    return jnp.where(col & (step < min_len)[:, None], -1e30, lg)
+
+
+@jax.jit
+def _first_token_penalized(logits, keys, temperature, top_p, sample_mask,
+                           min_len, eos):
+    """Select token index 0 from the prefill logits under min_length eos
+    masking (the repetition penalty is a no-op at step 0: nothing has been
+    generated). All args per-row; keys must already be fold_in(key, 0)."""
+    lg = logits.astype(jnp.float32)
+    lg = _mask_min_length(lg, jnp.zeros(lg.shape[:1], jnp.int32), min_len,
+                          eos)
+    return _topp_next(lg, keys, temperature, top_p, sample_mask)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n"),
+                   donate_argnums=(2, 3))
+def _decode_chunk_penalized(params, token_ids, cache: KVCache,
+                            seen: jax.Array, cfg: LlamaConfig, n: int, keys,
+                            counters, temperature, top_p, sample_mask,
+                            penalty, min_len, eos):
+    """_decode_chunk_mixed plus the two rank-reshuffling logit processors
+    the host reference loop applied (repetition penalty over the (B, V)
+    ``seen`` generated-token set, min_length eos masking) — the penalized
+    configs used to pay one blocking host round-trip per token (~30 ms
+    through the device tunnel); this runs them ``n`` tokens per call like
+    every other decode path. ``seen`` is carried and returned so penalty
+    state persists across chunks. Per-row penalty/min_len/eos let one
+    program serve mixed penalized + plain traffic (penalty 1.0 and
+    min_len 0 are exact identities)."""
+    b = token_ids.shape[0]
+
+    def body(carry, i):
+        cur, cache, seen = carry
+        # the incoming token is part of the generated sequence feeding the
+        # penalty (host rule: generated includes everything emitted so far)
+        seen = seen.at[jnp.arange(b), cur].set(True)
+        logits, cache = _decode_step_impl(params, cur, cache, cfg)
+        lg = _penalize_logits(logits.astype(jnp.float32), seen, penalty)
+        lg = _mask_min_length(lg, counters + i, min_len, eos)
+        step_keys = jax.vmap(jax.random.fold_in)(keys, counters + i)
+        nxt = _topp_next(lg, step_keys, temperature, top_p, sample_mask)
+        return (nxt, cache, seen), nxt
+
+    (_, cache, seen), toks = jax.lax.scan(
+        body, (token_ids, cache, seen), jnp.arange(n))
+    return toks.T, cache, seen  # (B, n)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n"), donate_argnums=(2,))
 def _decode_chunk_mixed(params, token_ids, cache: KVCache, cfg: LlamaConfig,
                         n: int, keys, counters, temperature, top_p,
@@ -356,15 +424,18 @@ def generate(
                                              llama_cfg, gen, b)[0]
         return _generate_sample_ondevice(params, logits, cache, llama_cfg,
                                          gen, b, seed)[0]
-    return _generate_host_loop(params, logits, cache, llama_cfg, gen, b,
-                               seed)[0]
+    return _generate_penalized_ondevice(params, logits, cache, llama_cfg,
+                                        gen, b, seed)[0]
 
 
 def _generate_host_loop(params, logits, cache, llama_cfg: LlamaConfig,
                         gen: GenerationConfig, b: int, seed: int):
-    """Per-token host loop for configs that need full logits on host
-    (repetition penalty reshuffles ranks; min_length masks eos). Returns
-    (generated, final cache) like the on-device loops."""
+    """Per-token host REFERENCE loop for penalized configs (repetition
+    penalty reshuffles ranks; min_length masks eos). Production routes
+    these through _generate_penalized_ondevice — greedy tokens are pinned
+    equal to this loop in tests/test_llama.py; its np-rng sampling rule
+    predates the device fold_in streams and is kept only as the greedy
+    oracle. Returns (generated, final cache) like the on-device loops."""
     rng = np.random.default_rng(seed)
     generated: List[List[int]] = [[] for _ in range(b)]
     done = [False] * b
@@ -495,6 +566,50 @@ def _generate_sample_ondevice(params, logits, cache, llama_cfg: LlamaConfig,
     return out, state["cache"]
 
 
+def _generate_penalized_ondevice(params, logits, cache,
+                                 llama_cfg: LlamaConfig,
+                                 gen: GenerationConfig, b: int, seed: int,
+                                 chunk: int = 16):
+    """Chunked on-device loop for repetition-penalty / min_length configs —
+    the simple-prompt chat mode the reference forces repetition_penalty=1.5
+    into (conversation.py:226), i.e. the PRODUCTION chat configuration.
+    These used to run the per-token host loop (~30 ms/token through the
+    device tunnel); this brings them to greedy-equal latency.
+
+    Greedy tokens equal the host reference loop exactly (fp32-pinned in
+    tests/test_llama.py, HF-pinned for the penalty rule). Sampled rows draw
+    from the SAME fold_in(PRNGKey(seed + r), token_index) streams as the
+    plain sampled path and the continuous batcher, applied to the penalized
+    distribution. Returns (generated, final cache)."""
+    v = logits.shape[-1]
+    keys = _build_row_keys(jnp.int32(seed), b)
+    temp = jnp.full((b,), gen.temperature, jnp.float32)
+    topp = jnp.full((b,), gen.top_p, jnp.float32)
+    samp = jnp.full((b,), bool(gen.do_sample))
+    pen = jnp.full((b,), gen.repetition_penalty, jnp.float32)
+    minl = jnp.full((b,), gen.min_length, jnp.int32)
+    eos_id = -1 if gen.eos_token_id is None else gen.eos_token_id
+    eos = jnp.full((b,), eos_id, jnp.int32)
+    first = _first_token_penalized(
+        logits, jax.vmap(jax.random.fold_in)(keys,
+                                             jnp.zeros((b,), jnp.int32)),
+        temp, topp, samp, minl, eos)
+    state = {"cur": first, "cache": cache,
+             "seen": jnp.zeros((b, v), bool), "count": 1}
+
+    def run_chunk(n):
+        toks, state["cache"], state["seen"] = _decode_chunk_penalized(
+            params, state["cur"], state["cache"], state["seen"], llama_cfg,
+            n, keys, jnp.full((b,), state["count"], jnp.int32), temp, topp,
+            samp, pen, minl, eos)
+        state["cur"] = toks[:, -1]
+        state["count"] += n
+        return toks
+
+    out = _chunked_decode_loop(b, gen, first, run_chunk, chunk)
+    return out, state["cache"]
+
+
 class PrefixSession:
     """Multi-turn KV reuse for one conversation (vLLM-style prefix caching).
 
@@ -574,11 +689,11 @@ class PrefixSession:
                  seed: int = 0) -> List[int]:
         """One turn: delta-prefill against the cached prefix, decode, and
         retain the updated cache + token record for the next turn. Output is
-        the same tokens ``generate`` returns for the full prompt — greedy
-        and sampled run the chunked on-device loops; repetition-penalty /
-        min_length configs (the simple-prompt chat mode, reference
-        conversation.py:220) run the per-token host loop, still with the
-        delta prefill. Raises ValueError for configs the session can't
+        the same tokens ``generate`` returns for the full prompt — greedy,
+        sampled, and repetition-penalty / min_length configs (the
+        simple-prompt chat mode, reference conversation.py:220) all run
+        chunked on-device loops. Raises ValueError for configs the session
+        can't
         serve (beam, prompt + budget past max_len) — callers fall back to
         solo generate, mirroring AnswerService's contract."""
         b, s, _ = inputs_embeds.shape
@@ -629,7 +744,7 @@ class PrefixSession:
                                        self.cfg)
 
         if gen.repetition_penalty != 1.0 or gen.min_length > 1:
-            out, cache = _generate_host_loop(
+            out, cache = _generate_penalized_ondevice(
                 self.params, logits, cache, self.cfg, gen, 1, seed)
         elif not gen.do_sample:
             out, cache = _generate_greedy_ondevice(
