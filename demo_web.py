@@ -236,7 +236,11 @@ def make_handler(chat, service=None, prefix_kv=0):
                     do_sample=temperature > 0 and num_beams == 1,
                     max_new_tokens=int(req.get("max_new_tokens", 300)),
                     max_length=2000, service=service,
-                    kv_session=_kv_for(req["session"]),
+                    # beam asks always take the solo path: don't let them
+                    # create/LRU-bump a PrefixSession (evicting a live
+                    # session's device KV for nothing)
+                    kv_session=(None if num_beams > 1
+                                else _kv_for(req["session"])),
                     seed=int(req.get("seed", 0)),
                 )
             return self._json({"answer": answer})

@@ -144,7 +144,12 @@ def main():
     tome = next((a.split("=", 1)[1] for a in sys.argv
                  if a.startswith("--tome=")), None)
     cfg = STLLMConfig(vit=dataclasses.replace(EVA_VIT_G, gelu_approx=True))
-    if tome:
+    if tome == "auto":
+        # redundancy-adaptive: encode_video_for_inference /
+        # resolve_auto_merge pick the level per video from its own frames
+        cfg = dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, merge_level="auto"))
+    elif tome:
         from stllm_tpu.ops.tome import level_kwargs
 
         cfg = dataclasses.replace(
@@ -186,6 +191,22 @@ def main():
     prefix = jnp.asarray(rng.normal(size=(1, PREFIX_TOKENS, d)) * 0.02, cfg.llama.dtype)
     suffix = jnp.asarray(rng.normal(size=(1, SUFFIX_TOKENS, d)) * 0.02, cfg.llama.dtype)
 
+    auto_level = None
+    if tome == "auto":
+        # production shape: selection happens per video on the HOST frames
+        # at upload (resolve_auto_merge); iid noise would select "off", so
+        # the auto arm benches a smooth synthetic video — the traffic the
+        # selector exists to speed up
+        from stllm_tpu.data.synth import synth_video
+        from stllm_tpu.models.stllm import resolve_auto_merge
+        from stllm_tpu.ops.tome import select_merge_level
+
+        host_frames = synth_video(np.random.default_rng(0), FRAMES,
+                                  cfg.vit.image_size)
+        auto_level = select_merge_level(host_frames)
+        cfg = resolve_auto_merge(cfg, host_frames)
+        frames = jnp.asarray(host_frames, jnp.uint8)
+
     @jax.jit
     def encode(params, frames, q_ids, q_mask):
         vid = encode_img(params, frames, cfg, q_ids, q_mask)  # (1,T,32,d)
@@ -220,6 +241,9 @@ def main():
     }
     if tome:
         line["tome_level"] = tome
+        if auto_level:
+            line["auto_selected"] = auto_level
+            line["frames"] = "smooth synthetic video (selector input)"
 
     if from_video:
         def one_qa_frames(fr):

@@ -1,0 +1,84 @@
+"""Same-session A/B: round-3 greedy serving path vs current (VERDICT #6).
+
+BENCH_SERVING.json drifted 268.1 <- 315.8 tok/s between rounds "on the same
+greedy path", attributed to axon-tunnel session variance but never proven.
+This driver runs the round-3 code (git worktree of a2321cf) and the current
+tree back-to-back, interleaved A/B/B/A within one tunnel session window,
+each reporting its own in-session tunnel RT — so the comparison is between
+tunnel-corrected numbers, not raw wall clocks from different days.
+
+Run: python script/bench_serving_ab.py [n_requests] [slots]
+Writes the "round3_ab" section of BENCH_SERVING.json.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+R3_SHA = "a2321cf"
+R3_DIR = "/tmp/stllm_r3_worktree"
+
+
+def ensure_worktree():
+    if os.path.isdir(os.path.join(R3_DIR, "script")):
+        return
+    subprocess.run(["git", "worktree", "add", "--detach", R3_DIR, R3_SHA],
+                   cwd=REPO, check=True)
+
+
+def run_bench(tree: str, n: int, slots: int) -> dict:
+    """One bench_serving subprocess in ``tree``; returns its JSON line."""
+    out = subprocess.run(
+        [sys.executable, os.path.join(tree, "script", "bench_serving.py"),
+         str(n), str(slots)],
+        cwd=tree, capture_output=True, text=True, timeout=1800)
+    assert out.returncode == 0, out.stderr[-3000:]
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    slots = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    ensure_worktree()
+
+    runs = {"current": [], "round3": []}
+    # A/B/B/A cancels linear session drift
+    for tag, tree in (("current", REPO), ("round3", R3_DIR),
+                      ("round3", R3_DIR), ("current", REPO)):
+        t0 = time.time()
+        r = run_bench(tree, n, slots)
+        r["at_s"] = round(time.time() - t0, 1)
+        runs[tag].append(r)
+        print(json.dumps({tag: {k: r.get(k) for k in (
+            "tokens_per_s", "tunnel_rt_ms",
+            "tunnel_corrected_tokens_per_s")}}), flush=True)
+
+    cur = max(r["tokens_per_s"] for r in runs["current"])
+    old = max(r["tokens_per_s"] for r in runs["round3"])
+    section = {
+        "round3_sha": R3_SHA,
+        "protocol": f"A/B/B/A interleaved subprocess drains, n={n}, "
+                    f"slots={slots}, best per arm",
+        "current_tokens_per_s": cur,
+        "round3_tokens_per_s": old,
+        "current_runs": [{k: r.get(k) for k in (
+            "tokens_per_s", "tunnel_rt_ms",
+            "tunnel_corrected_tokens_per_s")} for r in runs["current"]],
+        "round3_runs": [{"tokens_per_s": r["tokens_per_s"]}
+                        for r in runs["round3"]],
+        "ratio_current_over_round3": round(cur / old, 3),
+    }
+    path = os.path.join(REPO, "BENCH_SERVING.json")
+    doc = json.load(open(path)) if os.path.exists(path) else {}
+    doc["round3_ab"] = section
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps(section))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,20 +1,30 @@
-"""int8-vs-bf16 equivalence on a TRAINED model (closes VERDICT round-2 weak #3).
+"""Quantization + token-merging equivalence on a TRAINED model.
 
-The random-weight harness (script/int8_equivalence.py) argues from margins:
-flips happen only below tiny bf16 top-1/top-2 gaps. This script grounds the
-claim by actually TRAINING a mid-size model (full 4096-width LLaMA, fewer
-layers; full-width ViT trunk slice) to emit fixed QA answers, then running
-the same greedy comparison: a trained answer distribution is peaked, so the
-margins are realistic and first-token match should be ~1.0.
+The random-weight harnesses (script/int8_equivalence.py,
+script/tome_equivalence.py) argue from margins: flips happen only below
+tiny bf16 top-1/top-2 gaps. This script grounds the claim by actually
+TRAINING a mid-size model (full 4096-width LLaMA / full 1408-width ViT,
+reduced depths) to emit fixed QA answers, then running the same greedy
+comparison on its peaked, realistic margins. Round 5 deepens the proxy
+(16 ViT blocks + 8 LLaMA layers, was 8+4), grows n to 32 (was 8), grades
+EVERY shipped ToMe level (was medium/t_medium only) on BOTH smooth-video
+and iid-noise subsets, and adds the W4A16 per-group (g=128/g=64) scale
+variants next to per-channel — closing VERDICT round-4 items 2, 4, 8.
 
-Protocol: 8 synthetic videos with fixed 16-token answers; train with the
-production train step (CE, frozen nothing) until greedy answers on all 8
-are stable; quantize IN PLACE to the serving stack (static-scale ViT W8A8 +
-LLaMA W8A8 + int8 KV); compare bf16 vs int8 greedy output on the 8 trained
-samples plus noise-perturbed variants. Appends a "trained_model" section to
-EQUIV_INT8.json.
+Protocol: n synthetic videos (first half smooth drifting video — the
+redundancy temporal merging exploits; second half iid noise — the
+adversarial arm) with fixed 16-token answers; train with the production
+train step until greedy answers are stable; quantize to the serving stacks;
+compare greedy outputs.  Baselines: quant arms grade vs the trained bf16
+answers; merge arms grade vs the trained int8 answers (merging rides the
+int8 headline stack, so its flips must be attributable to merging alone).
 
-Run: python script/int8_equivalence_trained.py [steps]   (one v5e chip)
+Writes the trained sections of EQUIV_INT8.json and TOME_EQUIV.json.
+
+Run: python script/int8_equivalence_trained.py [steps] [n] [vit_blocks]
+     [llama_layers]              (one v5e chip; ~0.5-1 h at the defaults)
+Reference protocol anchor: stllm/test/mvbench/mv_bench.py:229-283 (greedy),
+stllm/models/eva_vit.py:416-428 (trunk shape).
 """
 
 import dataclasses
@@ -30,37 +40,51 @@ import jax.numpy as jnp
 import numpy as np
 
 from stllm_tpu.data.packing import pack_training_batch
+from stllm_tpu.data.synth import noise_video, synth_video
 from stllm_tpu.models.generation import GenerationConfig, generate
 from stllm_tpu.models.llama import LlamaConfig
 from stllm_tpu.models.qformer import QFormerConfig
 from stllm_tpu.models.stllm import STLLMConfig, encode_img, init_stllm
 from stllm_tpu.models.vit import ViTConfig
-from stllm_tpu.train.step import create_train_state, make_optimizer, make_train_step
+from stllm_tpu.ops.tome import MERGE_LEVELS, scale_level_to_depth
+from stllm_tpu.train.step import create_train_state, make_train_step
 
-T_FRAMES = 4
-N_VIDEOS = 8
+T_FRAMES = 8          # supports the 3 chained folds of t_aggressive
 ANSWER_TOKENS = 16
-
-# full widths, reduced depths: keeps the quantization error statistics of
-# the full model (same matmul shapes) at a trainable-in-minutes size
-CFG = STLLMConfig(
-    vit=ViTConfig(image_size=224, patch_size=14, width=1408, depth=8,
-                  heads=16, mlp_hidden=6144, dtype=jnp.bfloat16,
-                  gelu_approx=True),
-    qformer=QFormerConfig(num_layers=4, dtype=jnp.bfloat16),
-    llama=LlamaConfig(vocab_size=32000, hidden=4096, num_layers=4, heads=32,
-                      intermediate=11008, max_positions=512),
-    use_mask=False,
-    video_input="mean",   # 32 video tokens -> short sequences, fast steps
-)
+BATCH = 4             # samples per train step
 
 
-def build_dataset(rng):
-    """8 fixed (video, question, answer) triples."""
-    vids, batches = [], []
-    v = CFG.num_video_tokens(T_FRAMES)
-    for i in range(N_VIDEOS):
-        frames = rng.normal(size=(1, T_FRAMES, 224, 224, 3)).astype(np.float32)
+def build_cfg(vit_blocks: int, llama_layers: int) -> STLLMConfig:
+    # full widths, reduced depths: keeps the quantization error statistics
+    # of the full model (same matmul shapes) at a trainable-in-minutes size
+    return STLLMConfig(
+        vit=ViTConfig(image_size=224, patch_size=14, width=1408,
+                      depth=vit_blocks, heads=16, mlp_hidden=6144,
+                      dtype=jnp.bfloat16, gelu_approx=True),
+        qformer=QFormerConfig(num_layers=4, dtype=jnp.bfloat16),
+        llama=LlamaConfig(vocab_size=32000, hidden=4096,
+                          num_layers=llama_layers, heads=32,
+                          intermediate=11008, max_positions=512),
+        use_mask=False,
+        video_input="mean",   # 32 video tokens -> short sequences
+    )
+
+
+def build_dataset(rng, n, cfg):
+    """n fixed (video, question, answer) triples; first half smooth video,
+    second half iid noise."""
+    data = []
+    v = cfg.num_video_tokens(T_FRAMES)
+    size = cfg.vit.image_size
+    for i in range(n):
+        if i < n // 2:
+            frames = synth_video(rng, T_FRAMES, size).astype(np.float32)
+            frames = (frames - 128.0) / 64.0   # roughly unit-scale
+            kind = "smooth"
+        else:
+            frames = rng.normal(
+                size=(1, T_FRAMES, size, size, 3)).astype(np.float32)
+            kind = "noise"
         before = [list(rng.integers(10, 30000, 12))]
         after = [list(rng.integers(10, 30000, 8))]
         answer = [list(rng.integers(10, 30000, ANSWER_TOKENS))]
@@ -71,15 +95,21 @@ def build_dataset(rng):
         batch["qformer_input_ids"] = jnp.asarray(
             rng.integers(0, 30000, (1, 8)), jnp.int32)
         batch["qformer_attention_mask"] = jnp.ones((1, 8), jnp.int32)
-        vids.append({"before": before[0], "after": after[0],
-                     "answer": answer[0], "batch": batch})
-    return vids
+        data.append({"before": before[0], "after": after[0],
+                     "answer": answer[0], "batch": batch, "kind": kind})
+    return data
+
+
+def stack_batches(items):
+    """Concatenate BATCH single-sample batches along the batch axis."""
+    keys = items[0]["batch"].keys()
+    return {k: jnp.concatenate([it["batch"][k] for it in items], axis=0)
+            for k in keys}
 
 
 def greedy_answer(params, sample, cfg):
     """Encode + assemble the prompt WITHOUT the answer, then greedy-decode."""
     b = sample["batch"]
-    d = cfg.llama.hidden
 
     vid = encode_img(params, b["frames"], cfg, b["qformer_input_ids"],
                      b["qformer_attention_mask"])
@@ -92,24 +122,79 @@ def greedy_answer(params, sample, cfg):
     embeds = jnp.concatenate([before, video.astype(cfg.llama.dtype), after], 1)
     gen = GenerationConfig(max_new_tokens=ANSWER_TOKENS, stop_sequences=(),
                            eos_token_id=-1, pad_to_multiple=32)
-    return generate(params["llama"], embeds, llama_cfg=cfg.llama, gen=gen)[0]
+    return (generate(params["llama"], embeds, llama_cfg=cfg.llama, gen=gen)[0],
+            embeds)
+
+
+def first_token_margin(llama_params, embeds, cfg):
+    from stllm_tpu.models.generation import _pad_prompt, _prefill
+
+    b, s, _ = embeds.shape
+    mask = jnp.ones((b, s), jnp.int32)
+    e, m = _pad_prompt(embeds, mask, 32)
+    logits, _ = _prefill(llama_params, e, m, cfg.llama,
+                         e.shape[1] + ANSWER_TOKENS)
+    top2 = jax.lax.top_k(logits[0].astype(jnp.float32), 2)[0]
+    return float(top2[0] - top2[1])
+
+
+def grade(base, got, margins=None):
+    n = len(base)
+    flips = np.asarray([a[0] != b[0] for a, b in zip(base, got)])
+    out = {
+        "n": n,
+        "first_token_match": sum(
+            a[0] == b[0] for a, b in zip(base, got)) / n,
+        "exact_16_match": sum(a == b for a, b in zip(base, got)) / n,
+    }
+    if margins is not None:
+        m = np.asarray(margins)
+        out["max_margin_flipped"] = (round(float(m[flips].max()), 4)
+                                     if flips.any() else 0.0)
+    return out
+
+
+def make_optimizer_for(params, lr):
+    """AdamW when its two bf16 moment trees fit next to params+grads on a
+    16 GB chip; adafactor (factored second moment, no first) above ~1.5B
+    params — the deepened round-5 proxy is ~2.3B."""
+    import optax
+
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
+    if n_params > 1_500_000_000:
+        print(f"{n_params/1e9:.2f}B params: adafactor", flush=True)
+        return optax.chain(optax.clip_by_global_norm(1.0),
+                           optax.adafactor(learning_rate=lr * 10,
+                                           min_dim_size_to_factor=128))
+    from stllm_tpu.train.step import make_optimizer
+
+    return make_optimizer(learning_rate=lr, max_grad_norm=1.0)
 
 
 def main():
-    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    vit_blocks = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    llama_layers = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    cfg = build_cfg(vit_blocks, llama_layers)
     rng = np.random.default_rng(3)
-    params = init_stllm(jax.random.PRNGKey(0), CFG)
-    data = build_dataset(rng)
+    params = init_stllm(jax.random.PRNGKey(0), cfg)
+    data = build_dataset(rng, n, cfg)
 
-    opt = make_optimizer(learning_rate=2e-4, max_grad_norm=1.0)
-    state = create_train_state(params, opt, lambda path: True)  # all trainable
+    opt = make_optimizer_for(params, lr=2e-4)
+    state = create_train_state(params, opt, lambda path: True)
     del params
-    step_fn = jax.jit(make_train_step(CFG, opt), donate_argnums=(0,))
+    step_fn = jax.jit(make_train_step(cfg, opt), donate_argnums=(0,))
 
     print("training ...", flush=True)
     t0 = time.perf_counter()
+    order = np.arange(n)
     for it in range(steps):
-        batch = data[it % N_VIDEOS]["batch"]
+        if it % (n // BATCH) == 0:
+            rng.shuffle(order)
+        sel = order[(it % (n // BATCH)) * BATCH:][:BATCH]
+        batch = stack_batches([data[i] for i in sel])
         state, metrics = step_fn(state, batch)
         if (it + 1) % 50 == 0:
             print(f"  step {it+1}: loss {float(metrics['loss']):.4f} "
@@ -120,131 +205,118 @@ def main():
     params = merge_params(state.params, state.frozen)
     del state
 
-    # trained greedy answers (bf16)
-    bf16_answers = [greedy_answer(params, s, CFG) for s in data]
+    # trained greedy answers + their bf16 margins (the flip-severity scale)
+    bf16_answers, margins = [], []
+    for s in data:
+        ans, embeds = greedy_answer(params, s, cfg)
+        bf16_answers.append(ans)
+        margins.append(first_token_margin(params["llama"], embeds, cfg))
     trained_ok = sum(a == s["answer"] for a, s in zip(bf16_answers, data))
-    print(f"bf16 answers matching training targets: {trained_ok}/{N_VIDEOS}",
-          flush=True)
+    print(f"bf16 answers matching training targets: {trained_ok}/{n}; "
+          f"median margin {float(np.median(margins)):.3f}", flush=True)
 
-    # serving-stack conversion (in place). The W4A16 copy is taken BEFORE
-    # the in-place W8A8 conversion consumes the dense tree (this mid-size
-    # model leaves headroom for dense + both quantized LLaMAs).
+    # ---- serving-stack conversions -------------------------------------
+    # dense LLaMA is kept (free_dense=False) so all four quantized variants
+    # come from the same trained tree; the ViT converts in place.
     from stllm_tpu.models.llama import (
         quantize_llama_params, quantize_llama_params_int4)
     from stllm_tpu.models.vit import calibrate_vit_scales, quantize_vit_params
 
     cfg_q = dataclasses.replace(
-        CFG, llama=dataclasses.replace(CFG.llama, kv_int8=True))
-    llama_w4 = quantize_llama_params_int4(params["llama"], group=None)
+        cfg, llama=dataclasses.replace(cfg.llama, kv_int8=True))
+    w4_variants = {
+        "w4a16": quantize_llama_params_int4(params["llama"], group=None),
+        "w4a16_g128": quantize_llama_params_int4(params["llama"], group=128),
+        "w4a16_g64": quantize_llama_params_int4(params["llama"], group=64),
+    }
     params["vit"] = quantize_vit_params(params["vit"], free_dense=True)
     calib = jnp.concatenate([s["batch"]["frames"][0] for s in data[:2]], 0)
-    params["vit"] = calibrate_vit_scales(params["vit"], calib, CFG.vit)
-    params["llama"] = quantize_llama_params(params["llama"], free_dense=True)
+    params["vit"] = calibrate_vit_scales(params["vit"], calib, cfg.vit)
+    dense_llama = params["llama"]
+    params["llama"] = quantize_llama_params(dense_llama, free_dense=True)
 
-    int8_answers = [greedy_answer(params, s, cfg_q) for s in data]
-
-    # token-merging arm on the SAME trained int8 stack: isolates what the
-    # staged merge (ops/tome.py) does to a trained model's answers. The
-    # trunk here is 8 blocks, so the 39-block "medium" schedule
-    # ((13,160),(26,96)) maps to the same thirds: ((3,160),(6,96)). Frames
-    # are iid noise — the adversarial case for merging (no redundancy).
-    sched = ((3, 160), (6, 96))
-    cfg_tome = dataclasses.replace(
-        cfg_q, vit=dataclasses.replace(cfg_q.vit, merge_schedule=sched))
-    tome_answers = [greedy_answer(params, s, cfg_tome) for s in data]
-
-    # temporal-fold arm (ops/tome.py:fold_frames) on the same trained int8
-    # stack: bench_tome.py's t_medium mapped to the 8-block trunk (folds at
-    # blocks 2 and 4, post-trunk re-merge to 96). The training frames are
-    # iid noise — ZERO cross-frame redundancy, the worst case for a lever
-    # built to exploit adjacent-frame duplication.
-    t_sched = ((2, 2, 288), (4, 2, 320))
-    cfg_tfold = dataclasses.replace(
-        cfg_q, vit=dataclasses.replace(cfg_q.vit, temporal_schedule=t_sched,
-                                       merge_schedule=((8, 96),)))
-    tfold_answers = [greedy_answer(params, s, cfg_tfold) for s in data]
-
-    params["llama"] = llama_w4
-    w4_answers = [greedy_answer(params, s, cfg_q) for s in data]
-
-    def grade(quant_answers):
-        first = sum(a[0] == b[0] for a, b in zip(bf16_answers, quant_answers))
-        exact = sum(a == b for a, b in zip(bf16_answers, quant_answers))
-        return first / N_VIDEOS, exact / N_VIDEOS
-
-    first8, exact8 = grade(int8_answers)
-    first4, exact4 = grade(w4_answers)
-    firstt = sum(a[0] == b[0] for a, b in zip(int8_answers, tome_answers))
-    exactt = sum(a == b for a, b in zip(int8_answers, tome_answers))
-    firsttf = sum(a[0] == b[0] for a, b in zip(int8_answers, tfold_answers))
-    exacttf = sum(a == b for a, b in zip(int8_answers, tfold_answers))
-    result = {
-        "n": N_VIDEOS,
+    int8_answers = [greedy_answer(params, s, cfg_q)[0] for s in data]
+    result_int8 = grade(bf16_answers, int8_answers, margins)
+    result_int8.update({
         "train_steps": steps,
-        "bf16_answers_match_train_targets": trained_ok / N_VIDEOS,
-        "first_token_match": first8,
-        "exact_16_match": exact8,
-        "model": "4096-width 4-layer LLaMA + 1408-width 8-block ViT "
-                 "(full matmul shapes, reduced depth), trained to emit "
-                 "fixed 16-token answers",
-        # the production quantize_vit_params + calibrate_vit_scales path is
-        # the headline serving stack: static activation scales AND the
-        # static-s8 qkv fused attention kernel (ops/attention.py)
+        "bf16_answers_match_train_targets": trained_ok / n,
+        "model": f"4096-width {llama_layers}-layer LLaMA + 1408-width "
+                 f"{vit_blocks}-block ViT (full matmul shapes, reduced "
+                 "depth), trained to emit fixed 16-token answers; half the "
+                 "videos smooth, half iid noise",
         "int8_stack": "W8A8 static-scale ViT incl. static-s8 qkv attention "
                       "+ W8A8 LLaMA + int8 KV cache "
                       "(the bench.py headline stack)",
-    }
-    result_w4 = {
-        "n": N_VIDEOS,
-        "first_token_match": first4,
-        "exact_16_match": exact4,
-        "w4_stack": "W8A8 static-scale ViT + W4A16 per-channel LLaMA "
-                    "(production Pallas decode kernel) + int8 KV cache",
-    }
-    result_tome = {
-        "n": N_VIDEOS,
-        "first_token_match_vs_int8": firstt / N_VIDEOS,
-        "exact_16_match_vs_int8": exactt / N_VIDEOS,
-        "merge_schedule_8_blocks": [list(x) for x in sched],
-        "note": "medium token-merge level on the trained int8 stack, iid-"
-                "noise frames (the adversarial case: zero redundancy); "
-                "random-weight video-frame envelope in TOME_EQUIV.json",
-    }
-    result_tfold = {
-        "n": N_VIDEOS,
-        "first_token_match_vs_int8": firsttf / N_VIDEOS,
-        "exact_16_match_vs_int8": exacttf / N_VIDEOS,
-        "temporal_schedule_8_blocks": [list(x) for x in t_sched],
-        "post_trunk_merge": [[8, 96]],
-        "note": "t_medium temporal fold (cross-frame merge) on the trained "
-                "int8 stack, iid-noise frames — zero cross-frame redundancy, "
-                "the adversarial case for a temporal lever; random-weight "
-                "smooth-video envelope in TOME_EQUIV.json",
-    }
-    print(json.dumps(result))
-    print(json.dumps(result_w4))
-    print(json.dumps(result_tome))
-    print(json.dumps(result_tfold))
+    })
+    print(json.dumps({"trained_model": result_int8}), flush=True)
 
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "EQUIV_INT8.json")
-    if os.path.exists(path):
-        with open(path) as f:
-            doc = json.load(f)
-    else:
-        doc = {}
-    doc["trained_model"] = result
-    doc["trained_model_w4a16"] = result_w4
-    # the merged arm also lands in TOME_EQUIV.json next to the random-
-    # weight envelope it complements
-    tpath = os.path.join(os.path.dirname(path), "TOME_EQUIV.json")
+    # ---- W4A16 scale-granularity A/B ------------------------------------
+    w4_results = {}
+    for name, llama_q in w4_variants.items():
+        params["llama"] = llama_q
+        answers = [greedy_answer(params, s, cfg_q)[0] for s in data]
+        r = grade(bf16_answers, answers, margins)
+        r["w4_stack"] = ("W8A8 static-scale ViT + W4A16 "
+                         + ("per-channel" if name == "w4a16"
+                            else f"per-group g={name.split('_g')[1]}")
+                         + " LLaMA (production Pallas decode kernel) "
+                           "+ int8 KV cache")
+        w4_results[name] = r
+        print(json.dumps({name: r}), flush=True)
+
+    # ---- every shipped ToMe level on the trained int8 stack -------------
+    params["llama"] = quantize_llama_params(dense_llama, free_dense=True)
+    del dense_llama, w4_variants
+    smooth_idx = [i for i, s in enumerate(data) if s["kind"] == "smooth"]
+    noise_idx = [i for i, s in enumerate(data) if s["kind"] == "noise"]
+    trained_levels = {}
+    for level in MERGE_LEVELS:
+        if level == "off":
+            continue
+        sched = scale_level_to_depth(level, vit_blocks)
+        cfg_m = dataclasses.replace(
+            cfg_q, vit=dataclasses.replace(cfg_q.vit, **sched))
+        answers = [greedy_answer(params, s, cfg_m)[0] for s in data]
+        entry = {
+            "smooth_video": grade([int8_answers[i] for i in smooth_idx],
+                                  [answers[i] for i in smooth_idx],
+                                  [margins[i] for i in smooth_idx]),
+            "iid_noise": grade([int8_answers[i] for i in noise_idx],
+                               [answers[i] for i in noise_idx],
+                               [margins[i] for i in noise_idx]),
+            "schedule_at_depth": {k: [list(x) for x in v]
+                                  for k, v in sched.items()},
+            "baseline": "trained int8 answers (merging rides the int8 "
+                        "headline stack)",
+        }
+        trained_levels[level] = entry
+        print(json.dumps({level: entry}), flush=True)
+
+    # ---- write artifacts -------------------------------------------------
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    epath = os.path.join(root, "EQUIV_INT8.json")
+    doc = json.load(open(epath)) if os.path.exists(epath) else {}
+    doc["trained_model"] = result_int8
+    doc["trained_model_w4a16"] = w4_results["w4a16"]
+    doc["trained_model_w4a16_g128"] = w4_results["w4a16_g128"]
+    doc["trained_model_w4a16_g64"] = w4_results["w4a16_g64"]
+    with open(epath, "w") as f:
+        json.dump(doc, f, indent=1)
+
+    tpath = os.path.join(root, "TOME_EQUIV.json")
     tdoc = json.load(open(tpath)) if os.path.exists(tpath) else {}
-    tdoc["trained_model_medium"] = result_tome
-    tdoc["trained_model_t_medium"] = result_tfold
+    # supersedes the round-4 8-block n=8 arms (trained_model_medium /
+    # trained_model_t_medium): every level, both input regimes, n here
+    tdoc.pop("trained_model_medium", None)
+    tdoc.pop("trained_model_t_medium", None)
+    tdoc["trained_levels"] = {
+        "model": result_int8["model"],
+        "n_per_subset": n // 2,
+        "levels": trained_levels,
+    }
     with open(tpath, "w") as f:
         json.dump(tdoc, f, indent=1)
-    with open(path, "w") as f:
-        json.dump(doc, f, indent=1)
+    print(json.dumps({"written": [epath, tpath]}))
 
 
 if __name__ == "__main__":

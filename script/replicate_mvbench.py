@@ -221,10 +221,44 @@ def stage_parity(args, model):
     return ok
 
 
+def apply_tome(args, model) -> bool:
+    """--tome LEVEL|auto: fold the token-merging level under test into the
+    model config, so the real-weights run certifies the accuracy of the
+    exact level the throughput claims ride on (BENCH_TOME.json). Returns
+    False when the level can't apply to this geometry (dry-run tiny trunk)."""
+    import dataclasses
+
+    if not args.tome:
+        if model.cfg.vit.merge_level:   # reset after a previous arm
+            model.cfg = dataclasses.replace(
+                model.cfg, vit=dataclasses.replace(model.cfg.vit,
+                                                   merge_level=""))
+        return True
+    if args.tome == "auto":
+        model.cfg = dataclasses.replace(
+            model.cfg, vit=dataclasses.replace(model.cfg.vit,
+                                               merge_level="auto"))
+        log("mvbench", "token merging: auto (per-video redundancy selector)")
+        return True
+    if model.cfg.vit.seq_len != 257:
+        log("mvbench", f"--tome {args.tome}: named levels are defined for "
+                       "the full EVA-ViT-g geometry (257 tokens/frame); "
+                       "this model is smaller — running unmerged")
+        return False
+    from stllm_tpu.ops.tome import level_kwargs
+
+    model.cfg = dataclasses.replace(
+        model.cfg, vit=dataclasses.replace(model.cfg.vit,
+                                           **level_kwargs(args.tome)))
+    log("mvbench", f"token merging: {args.tome}")
+    return True
+
+
 def stage_mvbench(args, cfg, model):
     from stllm_tpu.evalharness.mvbench import MVBenchDataset, run_mvbench
 
     model_cfg = cfg.model_cfg
+    apply_tome(args, model)
     chat = model.chat()
     all_token = model_cfg.get("video_input") != "mean"
     resolution = 224
@@ -236,9 +270,13 @@ def stage_mvbench(args, cfg, model):
                              specified_item=args.specified_item)
     log("mvbench", f"{len(dataset)} samples "
                    f"({'task ' + args.specified_item if args.specified_item else '20-task protocol'})")
+    if args.serving_slots:
+        log("mvbench", f"streaming through the continuous QA server "
+                       f"(slots={args.serving_slots})")
     result = run_mvbench(chat, dataset, output_dir=args.out_dir,
                          output_name=args.output_name,
-                         all_token=all_token, batch_size=args.batch_size)
+                         all_token=all_token, batch_size=args.batch_size,
+                         serving_slots=args.serving_slots or None)
     acc = result["acc_dict"]
     log("mvbench", "per-task accuracy:")
     for task, v in acc.items():
@@ -268,6 +306,15 @@ def main(argv=None):
                    help="fps-1 adaptive cap, reference default")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--specified_item", default=None)
+    p.add_argument("--tome", default=None,
+                   help="token-merge level to certify (named level or "
+                        "'auto'); the accuracy run then scores the exact "
+                        "config the BENCH_TOME.json throughput rides on")
+    p.add_argument("--serving-slots", type=int, default=0,
+                   help="stream the eval through the continuous QA server "
+                        "(pipeline_serving.VideoQAServer) with N slots — "
+                        "certifies the serving path's answers, not just the "
+                        "per-sample path")
     p.add_argument("--options", nargs="+", default=None,
                    help="extra dotlist config overrides")
     p.add_argument("--golden", help="recorded-golden .npz to verify against")
@@ -313,6 +360,20 @@ def main(argv=None):
     if args.anno:
         if not stage_mvbench(args, cfg, model):
             return 1
+        if args.dry_run:
+            # exercise BOTH headline-surface arms end-to-end so the gate
+            # can't rot: the token-merge dispatch ('auto' resolves per
+            # video — tiny geometry runs unmerged but drives the full
+            # plumbing) and the serving-streamed eval path
+            log("dryrun", "arm 2/3: --tome auto")
+            args.tome, args.output_name = "auto", "mvbench_tome"
+            if not stage_mvbench(args, cfg, model):
+                return 1
+            log("dryrun", "arm 3/3: --serving-slots 2")
+            args.tome, args.serving_slots = None, 2
+            args.output_name = "mvbench_serving"
+            if not stage_mvbench(args, cfg, model):
+                return 1
     else:
         log("mvbench", "skipped (no --anno given)")
     log("done", "all stages passed")

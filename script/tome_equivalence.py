@@ -59,21 +59,7 @@ T_LEVELS = {k: (v["temporal_schedule"], v["merge_schedule"])
             for k, v in MERGE_LEVELS.items() if "temporal_schedule" in v}
 
 
-def synth_video(rng, t, size):
-    """Smooth synthetic video: random low-freq base + drifting shift +
-    per-frame noise — adjacent frames share most content, like real video."""
-    base = rng.normal(size=(size + t, size + t, 3)) * 40 + 128
-    # blur the base a little (box filter) for spatial coherence
-    k = 5
-    c = np.cumsum(np.cumsum(base, 0), 1)
-    c = np.pad(c, ((k, 0), (k, 0), (0, 0)))
-    blur = (c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k]) / (k * k)
-    frames = []
-    for i in range(t):
-        win = blur[i:i + size, i:i + size]
-        win = win + rng.normal(size=win.shape) * 4.0
-        frames.append(np.clip(win, 0, 255))
-    return np.stack(frames).astype(np.uint8)[None]
+from stllm_tpu.data.synth import synth_video  # noqa: E402  (shared arms)
 
 
 def make_samples(n, cfg, video=True):
@@ -98,19 +84,29 @@ def make_samples(n, cfg, video=True):
 
 
 def run_samples(params, cfg, samples, label):
-    d = cfg.llama.hidden
+    """``cfg`` is an STLLMConfig, or a callable sample -> STLLMConfig (the
+    auto arm resolves a merge level per video)."""
+    cfg_fn = cfg if callable(cfg) else (lambda s: cfg)
+    d = cfg_fn(samples[0]).llama.hidden
+    enc_cache = {}
 
-    @jax.jit
-    def encode(params, frames, q_ids, q_mask):
-        vid = encode_img(params, frames, cfg, q_ids, q_mask)
-        return vid.reshape(1, -1, d)
+    def encode_for(c):
+        if c not in enc_cache:
+            @jax.jit
+            def encode(params, frames, q_ids, q_mask):
+                vid = encode_img(params, frames, c, q_ids, q_mask)
+                return vid.reshape(1, -1, d)
+
+            enc_cache[c] = encode
+        return enc_cache[c]
 
     gen = GenerationConfig(max_new_tokens=ANSWER_TOKENS, stop_sequences=(),
                            eos_token_id=-1)
     outs, margins = [], []
     t0 = time.perf_counter()
     for s in samples:
-        vid = encode(params, s["frames"], s["q_ids"], s["q_mask"])
+        cfg = cfg_fn(s)
+        vid = encode_for(cfg)(params, s["frames"], s["q_ids"], s["q_mask"])
         embeds = jnp.concatenate(
             [jnp.asarray(s["prefix"], cfg.llama.dtype), vid,
              jnp.asarray(s["suffix"], cfg.llama.dtype)], axis=1)
@@ -215,6 +211,34 @@ def main():
         entry["noise_frames"] = grade(base_noise, noise_margins, nout)
         doc["levels"][name] = entry
         print(json.dumps({name: entry}))
+
+    # -- AUTO arm: the redundancy-adaptive selector picks a level per video
+    # (ops/tome.py select_merge_level). The claim under test: on mixed
+    # smooth/noise traffic it keeps smooth-video gains while backing off to
+    # no merging on irredundant input (noise subset must grade ~like the
+    # unmerged baseline).
+    if not only or only in "auto":
+        from stllm_tpu.models.stllm import resolve_auto_merge
+        from stllm_tpu.ops.tome import select_merge_level
+
+        cfg_auto = dataclasses.replace(
+            cfg_q, vit=dataclasses.replace(cfg_q.vit, merge_level="auto"))
+        chosen = {"smooth": {}, "noise": {}}
+
+        def cfg_fn(s, kind):
+            lvl = select_merge_level(s["frames"])
+            chosen[kind][lvl] = chosen[kind].get(lvl, 0) + 1
+            return resolve_auto_merge(cfg_auto, s["frames"])
+
+        out, _ = run_samples(params, lambda s: cfg_fn(s, "smooth"),
+                             samples, "tome-auto")
+        entry = grade(base_out, base_margins, out)
+        nout, _ = run_samples(params, lambda s: cfg_fn(s, "noise"),
+                              noise, "tome-auto-noise")
+        entry["noise_frames"] = grade(base_noise, noise_margins, nout)
+        entry["levels_chosen"] = chosen
+        doc["levels"]["auto"] = entry
+        print(json.dumps({"auto": entry}))
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "TOME_EQUIV.json")

@@ -333,7 +333,10 @@ class Chat:
         of the full system + video + history prompt — same tokens either
         way. Configs the session rejects fall back to solo generate. Used
         only when no ``service`` is given (the batcher owns its own cache)."""
-        from stllm_tpu.models.generation import GenerationConfig, generate
+        import logging
+
+        from stllm_tpu.models.generation import (
+            GenerationConfig, UnsupportedRequest, generate)
 
         conv.append_message(conv.roles[1], None)
         if conv.instruction:
@@ -361,16 +364,22 @@ class Chat:
         if service is not None:
             try:
                 tokens = service.answer(embs, gen, seed=seed)
-            except ValueError:
-                tokens = None  # beam/penalty/over-long: solo path below
+            except UnsupportedRequest as e:
+                # capability gap only (beam/penalty/over-long) — real bugs
+                # in the batcher propagate instead of silently degrading
+                logging.getLogger(__name__).debug(
+                    "service fallback to solo generate: %s", e)
+                tokens = None
         elif kv_session is not None:
             from stllm_tpu.models.generation import PrefixSession
 
             items = PrefixSession.items_for(seg_ids, sim_imgs)[begin_idx:]
             try:
                 tokens = kv_session.generate(embs, items, gen, seed=seed)
-            except ValueError:
-                tokens = None  # beam/over-budget: solo path below
+            except UnsupportedRequest as e:
+                logging.getLogger(__name__).debug(
+                    "prefix-session fallback to solo generate: %s", e)
+                tokens = None
         if tokens is None:
             out = generate(self.params["llama"], embs,
                            llama_cfg=self.cfg.llama, gen=gen, seed=seed)

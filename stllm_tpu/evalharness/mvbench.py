@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from stllm_tpu.data.processors import ChatVideoEvalProcessor
 from stllm_tpu.data.samplers import mvbench_frame_indices
+from stllm_tpu.models.generation import UnsupportedRequest
 
 # (json file, media prefix under data_root, data type, has [start,end] bound)
 # reference: mv_bench.py:24-45
@@ -237,9 +238,12 @@ def infer_mvbench(
     """Encode once, build the MVBench prompt, greedy-decode
     (reference: infer_mvbench, mv_bench.py:229-283)."""
     from stllm_tpu.models.generation import GenerationConfig, generate
-    from stllm_tpu.models.stllm import encode_img
+    from stllm_tpu.models.stllm import encode_img, resolve_auto_merge
 
     frames = jnp.asarray(data_sample["video"])[None]     # (1, T, H, W, C)
+    # vit.merge_level == "auto": pick this video's merge level from the
+    # host frames (script/replicate_mvbench.py --tome auto certifies it)
+    cfg = resolve_auto_merge(chat.cfg, data_sample["video"][None])
     q_ids = q_mask = None
     if chat.cfg.qformer_text_input and chat.qformer_tokenizer is not None:
         ids = chat.qformer_tokenizer.encode(data_sample["question"],
@@ -247,7 +251,7 @@ def infer_mvbench(
         ids = ids[: chat.max_qformer_len]
         q_ids = jnp.asarray([ids], jnp.int32)
         q_mask = jnp.ones_like(q_ids)
-    emb = encode_img(chat.params, frames, chat.cfg, q_ids, q_mask)  # (1,T,Q,D)
+    emb = encode_img(chat.params, frames, cfg, q_ids, q_mask)  # (1,T,Q,D)
     t, q = emb.shape[1], emb.shape[2]
     if all_token:
         video_emb = emb.reshape(1, t * q, -1)
@@ -339,8 +343,15 @@ def infer_mvbench_batch(
         q_ids, q_mask = jnp.asarray(ids), jnp.asarray(mask)
 
     # mapped encode: sequential per-video subprograms in ONE dispatch —
-    # naive wide batching loses ~4% per-frame throughput on one chip
-    emb = encode_img_mapped(chat.params, frames, chat.cfg, q_ids, q_mask)
+    # naive wide batching loses ~4% per-frame throughput on one chip.
+    # "auto" merge level resolves ONCE over the whole stacked batch (the
+    # mapped program needs a single config; the pooled statistic over B
+    # videos picks a level safe for their mixture)
+    from stllm_tpu.models.stllm import resolve_auto_merge
+
+    cfg = resolve_auto_merge(chat.cfg,
+                             np.stack([s["video"] for s in samples]))
+    emb = encode_img_mapped(chat.params, frames, cfg, q_ids, q_mask)
     t, q = emb.shape[1], emb.shape[2]
     video_emb = emb.reshape(b, t * q, -1) if all_token else emb.mean(axis=1)
 
@@ -462,7 +473,7 @@ def infer_mvbench_serving(
             try:
                 srv.submit(rid, frames, pre, suf, gen,
                            qformer_text_ids=q_ids)
-            except ValueError:
+            except UnsupportedRequest:
                 # prompt exceeds the server's max_len (e.g. many segments
                 # at a small serving_max_len): run this one sample through
                 # the per-sample path instead of aborting the whole eval

@@ -30,6 +30,13 @@ from stllm_tpu.models.llama import (
 )
 
 
+class UnsupportedRequest(ValueError):
+    """A generation config the serving fast path (ContinuousBatcher /
+    PrefixSession) cannot serve — beam, penalties, over-budget prompts.
+    Callers catch exactly this to fall back to solo ``generate``; genuine
+    bugs keep raising plain ValueError and propagate."""
+
+
 @dataclasses.dataclass
 class GenerationConfig:
     max_new_tokens: int = 300
@@ -64,6 +71,30 @@ def _prefill(params, embeds, mask, cfg: LlamaConfig, max_len: int):
     last = jnp.clip(mask.sum(axis=-1).astype(jnp.int32) - 1, 0)
     last_hidden = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
     return lm_head(params, last_hidden)[:, 0], cache
+
+
+@functools.partial(jax.jit, static_argnames=("w",), donate_argnums=(0,))
+def _grow_cache(cache: KVCache, w: int) -> KVCache:
+    """Zero-pad every cache buffer along the time axis to width ``w``.
+
+    PrefixSession sizes its cache to the CURRENT history bucket instead of
+    max_len: attention in prefill-into-cache and decode scans the whole
+    buffer (masked lanes cost compute even though they contribute 0.0), so
+    a 608-token first turn inside a 2048-slot buffer was paying 3.2x the
+    attention score work of solo generate — the round-4 turn-1 regression
+    (BENCH_PREFIX.json 445 vs 341 ms). Growth is one fused pad per buffer,
+    amortized over the turns that fit the new bucket."""
+    def pad_to(c):
+        return jnp.pad(c, ((0, 0), (0, w - c.shape[1]))
+                       + ((0, 0),) * (c.ndim - 2))
+
+    ks = vs = None
+    if cache.k_scale is not None:
+        ks = tuple(pad_to(c) for c in cache.k_scale)
+        vs = tuple(pad_to(c) for c in cache.v_scale)
+    return KVCache(k=tuple(pad_to(c) for c in cache.k),
+                   v=tuple(pad_to(c) for c in cache.v),
+                   length=cache.length, k_scale=ks, v_scale=vs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
@@ -643,6 +674,12 @@ class PrefixSession:
     (demo_web's --prefix-kv caps live sessions with an LRU).
     """
 
+    # cache-width growth bucket: programs key on (delta bucket, width), so
+    # coarse buckets bound recompiles while keeping early turns near their
+    # solo-prefill attention cost (256 ≈ within 1 bucket of a 608-token
+    # video prompt)
+    _WINDOW = 256
+
     def __init__(self, params, llama_cfg: LlamaConfig, max_len: int = 2048):
         self.params = params
         self.cfg = llama_cfg
@@ -698,9 +735,10 @@ class PrefixSession:
         solo generate, mirroring AnswerService's contract."""
         b, s, _ = inputs_embeds.shape
         if b != 1:
-            raise ValueError("PrefixSession is per-conversation (batch 1)")
+            raise UnsupportedRequest(
+                "PrefixSession is per-conversation (batch 1)")
         if gen.num_beams > 1:
-            raise ValueError("beam search needs solo generate")
+            raise UnsupportedRequest("beam search needs solo generate")
         if s != len(items):
             raise ValueError(f"items/embeds length mismatch: {len(items)} "
                              f"vs {s}")
@@ -711,9 +749,10 @@ class PrefixSession:
         pad_m = gen.pad_to_multiple
         s_pad = s + (-s) % pad_m
         if max(s_pad, s + gen.max_new_tokens) > self.max_len:
-            raise ValueError(f"prompt {s} (padded {s_pad}) + budget "
-                             f"{gen.max_new_tokens} exceeds session "
-                             f"max_len {self.max_len}")
+            raise UnsupportedRequest(
+                f"prompt {s} (padded {s_pad}) + budget "
+                f"{gen.max_new_tokens} exceeds session "
+                f"max_len {self.max_len}")
 
         items = list(items)
         p = 0
@@ -729,9 +768,19 @@ class PrefixSession:
         # (terminates: p = 0 fits by the s_pad check above)
         while p > 0 and p + (s - p) + (-(s - p)) % pad_m > self.max_len:
             p -= 1
+        # size the cache to the CURRENT history bucket (grown as turns
+        # accumulate), not max_len: prefill-into-cache and decode attend
+        # over the whole buffer, so a max_len buffer made short early turns
+        # pay for history they don't have yet (the round-4 turn-1
+        # regression; see _grow_cache)
+        need = max(p + (s - p) + (-(s - p)) % pad_m,
+                   s + gen.max_new_tokens)
+        w = min(self.max_len, -(-need // self._WINDOW) * self._WINDOW)
         if self.cache is None:
-            self.cache = init_kv_cache(self.cfg, 1, self.max_len)
+            self.cache = init_kv_cache(self.cfg, 1, w)
             p = 0
+        elif self.cache.k[0].shape[1] < w:
+            self.cache = _grow_cache(self.cache, w=w)
         self.last_reused = p
 
         delta, mask = _pad_prompt(

@@ -346,8 +346,38 @@ def encode_video_for_inference(
 ) -> jax.Array:
     """encode_img + video_input for generation, mirroring the inference twin
     of the residual module (reference: stllm/conversation/conversation.py:281-293).
-    Returns (B, V, D)."""
+    Returns (B, V, D).
+
+    ``cfg.vit.merge_level == "auto"`` resolves a token-merge level from the
+    video's own redundancy here (ops/tome.py select_merge_level — host-side
+    stat on the frames already in hand), then encodes with that level's
+    compiled program; every selected level reuses its own cached program."""
     if frames.ndim == 4:
         frames = frames[None]
+    cfg = resolve_auto_merge(cfg, frames)
     img = encode_img(params, frames, cfg, qformer_text_ids, qformer_text_mask)
     return apply_video_input(params, img, cfg)
+
+
+def resolve_auto_merge(cfg: STLLMConfig, frames) -> STLLMConfig:
+    """Resolve vit.merge_level == "auto" against this video's measured
+    redundancy; no-op otherwise. ``frames`` (B, T, H, W, C)."""
+    if cfg.vit.merge_level != "auto":
+        return cfg
+    import numpy as np
+
+    from stllm_tpu.ops.tome import (
+        MERGE_LEVELS, scale_level_to_depth, select_merge_level)
+
+    off = dataclasses.replace(cfg.vit, merge_level="")
+    if cfg.vit.seq_len != 257:
+        # named levels' token counts are measured for the full EVA-ViT-g
+        # per-frame geometry (257 tokens); debug-size trunks run unmerged
+        return dataclasses.replace(cfg, vit=off)
+    level = select_merge_level(np.asarray(frames))
+    if level == "off":
+        return dataclasses.replace(cfg, vit=off)
+    sched = (MERGE_LEVELS[level] if cfg.vit.depth == 39
+             else scale_level_to_depth(level, cfg.vit.depth))
+    return dataclasses.replace(
+        cfg, vit=dataclasses.replace(off, **sched))

@@ -81,6 +81,15 @@ class ViTConfig:
     # Folds compound: two (g=2) folds -> 4 frames/row. Requires
     # num_frames % prod(groups) == 0 (pass num_frames to vit_forward).
     temporal_schedule: tuple = ()
+    # Named merge level (ops/tome.py MERGE_LEVELS key), or "auto" to pick
+    # per video from its measured redundancy (ops/tome.py
+    # select_merge_level) at the inference entry points
+    # (stllm.encode_video_for_inference, pipeline_serving submit). Concrete
+    # names are expanded into the schedule fields at config build
+    # (models/zoo.py); only ""/"auto" reach a live config. The jitted trunk
+    # reads ONLY the schedule tuples, so "auto" resolves to one compiled
+    # program per level actually selected.
+    merge_level: str = ""
 
     @property
     def head_dim(self) -> int:

@@ -64,6 +64,16 @@ def build_stllm_config(cfg: Mapping) -> STLLMConfig:
                                  "instructblip" in str(model_type))
     vit_over = dict(cfg.get("vit") or {})
     llama_over = dict(cfg.get("llama") or {})
+    level = vit_over.get("merge_level", "")
+    if level and level != "auto":
+        # concrete names expand to their schedules here (one source:
+        # ops/tome.py MERGE_LEVELS); "auto" stays and resolves per video
+        # at the inference entry points
+        from stllm_tpu.ops.tome import level_kwargs
+
+        for k, v in level_kwargs(level).items():
+            vit_over.setdefault(k, v)
+        vit_over["merge_level"] = ""
     if cfg.get("use_grad_checkpoint", False):
         # reference: per-ViT-block checkpointing (eva_vit.py:336-337) and
         # gradient_checkpointing_enable on the LLM (st_llm.py:186-187)

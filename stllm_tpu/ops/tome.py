@@ -74,6 +74,110 @@ MERGE_LEVELS: Dict[str, Dict[str, tuple]] = {
 }
 
 
+# Redundancy-adaptive level selection (round 5, VERDICT #3). The envelope
+# (TOME_EQUIV.json) shows exactly when each level is safe: temporal folding
+# collapses on iid noise (zero cross-frame redundancy) while near-static
+# video tolerates even t_aggressive. Adjacent-frame redundancy is measurable
+# on the host for free at upload time, so "auto" maps a per-video statistic
+# to a level instead of shipping one global knob.
+#
+# Statistic: frames are 8x8 average-pooled first — sub-pixel/slow motion
+# (which the fold's bipartite matching absorbs) mostly vanishes under
+# pooling, while iid noise stays fully decorrelated — then
+#   r_t = mean |P[t+1] - P[t]| / std(P)   (temporal redundancy; 0 = static)
+#   r_s = mean |P[:, x+1] - P[:, x]| / std(P)   (spatial redundancy)
+# Measured separation (stllm_tpu/data/synth.py arms): static 0.00, smooth
+# drifting video 0.29, noisy video 0.85, iid noise 1.13 (r_s: smooth 0.91,
+# noise 1.14). Thresholds sit in the gaps, erring conservative: the
+# near-lossless t_medium needs clear redundancy, t_aggressive only for
+# near-static input, and high-entropy frames get NO merging at all.
+_AUTO_T_AGGRESSIVE = 0.15
+_AUTO_T_MEDIUM = 0.45
+_AUTO_T_MILD = 0.70
+_AUTO_SPATIAL = 1.05
+
+
+def frame_redundancy(frames) -> Tuple[float, float]:
+    """(r_t, r_s) pooled-frame redundancy statistics; host-side numpy.
+
+    ``frames``: (T, H, W, C) or (B, T, H, W, C), any real dtype (uint8
+    pixels or normalized floats — both ratios are scale-invariant). A
+    batch reduces with elementwise max over videos: the LEAST redundant
+    video governs, so a shared level is safe for the whole mixture."""
+    f = _np.asarray(frames, _np.float32)
+    if f.ndim == 5:
+        if f.shape[0] > 1:
+            per = [frame_redundancy(v) for v in f]
+            return (max(p[0] for p in per), max(p[1] for p in per))
+        f = f[0]
+    t = f.shape[0]
+    if t > 8:
+        # bound host cost on long clips with a CONTIGUOUS window: folding
+        # merges adjacent frames, so adjacent deltas are the statistic —
+        # a strided subsample would inflate r_t by the stride's extra drift
+        f = f[t // 2 - 4:t // 2 + 4]
+    k = 8
+    h2, w2 = f.shape[1] // k * k, f.shape[2] // k * k
+    p = f[:, :h2, :w2].reshape(
+        f.shape[0], h2 // k, k, w2 // k, k, -1).mean((2, 4))
+    std = float(p.std()) + 1e-6
+    r_t = (float(_np.abs(_np.diff(p, axis=0)).mean()) / std
+           if p.shape[0] > 1 else 0.0)
+    r_s = float(_np.abs(_np.diff(p, axis=2)).mean()) / std
+    return r_t, r_s
+
+
+def select_merge_level(frames, *, allow_temporal: bool = True) -> str:
+    """Pick a named MERGE_LEVELS key from the video's own redundancy.
+
+    ``allow_temporal=False`` restricts to spatial levels (single images,
+    or callers whose frame axis isn't foldable). Temporal candidates are
+    additionally demoted to the deepest level whose chained g=2 folds
+    divide the clip's frame count."""
+    t = frames.shape[-4] if getattr(frames, "ndim", 0) >= 4 else 1
+
+    def fold_ok(level):
+        folds = len(MERGE_LEVELS[level].get("temporal_schedule", ()))
+        return t >= 2 ** folds and t % (2 ** folds) == 0
+
+    r_t, r_s = frame_redundancy(frames)
+    if allow_temporal and t > 1:
+        want = ("t_aggressive" if r_t < _AUTO_T_AGGRESSIVE else
+                "t_medium" if r_t < _AUTO_T_MEDIUM else
+                "t_mild" if r_t < _AUTO_T_MILD else "")
+        if want:
+            ladder = ("t_aggressive", "t_medium", "t_mild")
+            for level in ladder[ladder.index(want):]:
+                if fold_ok(level):
+                    return level
+    if r_s < _AUTO_SPATIAL:
+        return "medium" if r_s < 0.95 else "mild"
+    return "off"
+
+
+def scale_level_to_depth(level: str, depth: int,
+                         full_depth: int = 39) -> Dict[str, tuple]:
+    """Map a named full-trunk merge level onto a reduced-depth trunk.
+
+    The trained-equivalence proxies (script/int8_equivalence_trained.py)
+    keep full matmul WIDTHS but fewer blocks; merge/fold block indices
+    scale proportionally (rounded, min 1) while token counts stay — they
+    are per-frame properties, independent of depth. A merge_schedule entry
+    at block == full_depth (the post-trunk re-merge) maps to block ==
+    depth exactly."""
+    kw = dict(MERGE_LEVELS[level])
+    out: Dict[str, tuple] = {}
+    if "merge_schedule" in kw:
+        out["merge_schedule"] = tuple(
+            (max(1, round(b * depth / full_depth)), m)
+            for b, m in kw["merge_schedule"])
+    if "temporal_schedule" in kw:
+        out["temporal_schedule"] = tuple(
+            (max(1, round(b * depth / full_depth)), g, m)
+            for b, g, m in kw["temporal_schedule"])
+    return out
+
+
 def level_kwargs(level: str, *, post_trunk: bool = True) -> Dict[str, tuple]:
     """ViTConfig field overrides for a named merge level ('off' -> {}).
 

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stllm_tpu.models.generation import GenerationConfig
+from stllm_tpu.models.generation import GenerationConfig, UnsupportedRequest
 from stllm_tpu.models.stllm import STLLMConfig, apply_video_input, encode_img
 from stllm_tpu.serving import ContinuousBatcher
 
@@ -60,6 +60,7 @@ def _encode_assemble(params, frames, prefix_ids, suffix_ids, q_ids, q_mask,
 class QARequest:
     def __init__(self, rid, frames, prefix_ids, suffix_ids, q_ids, q_mask,
                  gen: GenerationConfig, seed: int):
+        self.cfg = None   # per-request encode cfg (auto merge-level)
         self.rid = rid
         self.frames = frames
         self.prefix_ids = prefix_ids
@@ -121,13 +122,19 @@ class VideoQAServer:
         s = prefix_ids.shape[1] + v + suffix_ids.shape[1]
         s_pad = s + (-s) % gen.pad_to_multiple
         if s_pad + gen.max_new_tokens > self.batcher.max_len:
-            raise ValueError(
+            raise UnsupportedRequest(
                 f"request {rid!r}: padded prompt ({s_pad}) + budget "
                 f"({gen.max_new_tokens}) exceeds server max_len "
                 f"({self.batcher.max_len})")
-        self.encode_queue.append(QARequest(
-            rid, frames, prefix_ids, suffix_ids, qformer_text_ids,
-            qformer_text_mask, gen, seed))
+        req = QARequest(rid, frames, prefix_ids, suffix_ids,
+                        qformer_text_ids, qformer_text_mask, gen, seed)
+        # vit.merge_level == "auto": pick the merge level from this video's
+        # own redundancy now (host-side stat, frames already in hand); the
+        # encode step then uses the per-request resolved config
+        from stllm_tpu.models.stllm import resolve_auto_merge
+
+        req.cfg = resolve_auto_merge(self.cfg, frames)
+        self.encode_queue.append(req)
 
     def _free_slots(self) -> int:
         b = self.batcher
@@ -143,7 +150,8 @@ class VideoQAServer:
             req = self.encode_queue.pop(0)
             embeds = _encode_assemble(self.params, req.frames,
                                       req.prefix_ids, req.suffix_ids,
-                                      req.q_ids, req.q_mask, cfg=self.cfg)
+                                      req.q_ids, req.q_mask,
+                                      cfg=req.cfg or self.cfg)
             self.batcher.submit(req.rid, embeds, req.gen, seed=req.seed)
         return self.batcher.step()
 

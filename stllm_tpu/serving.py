@@ -40,8 +40,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from stllm_tpu.models.generation import (
-    GenerationConfig, _decode_chunk_greedy, _decode_chunk_mixed, _ends_with,
-    _first_token_sampled, _pad_prompt, _prefill)
+    GenerationConfig, UnsupportedRequest, _decode_chunk_greedy,
+    _decode_chunk_mixed, _ends_with, _first_token_sampled, _pad_prompt,
+    _prefill)
 from stllm_tpu.models.llama import KVCache, LlamaConfig, init_kv_cache
 
 
@@ -126,6 +127,12 @@ class ContinuousBatcher:
         self.active: List[Optional[Request]] = [None] * slots
         self.queue: List[Request] = []
         self._finished: List[Request] = []
+        # observability: blocking host pulls this batcher has issued (one
+        # per admit first-token + one per decode chunk). Each pull costs a
+        # full device round trip (~30 ms through the axon tunnel), which is
+        # the serving wall-clock's main noise source — benches use this to
+        # report tunnel-RT-corrected throughput (script/bench_serving.py).
+        self.host_pulls = 0
         # per-slot sampling state (inert for greedy rows); keys live on
         # DEVICE — they are produced there (PRNGKey inside jit) and only
         # ever consumed there, so a host pull would be a wasted round trip
@@ -140,15 +147,17 @@ class ContinuousBatcher:
                seed: int = 0):
         if (gen.num_beams > 1 or gen.repetition_penalty != 1.0
                 or gen.min_length > 1):
-            raise ValueError(
+            raise UnsupportedRequest(
                 f"request {rid!r}: the continuous batcher serves greedy and "
                 "top-p-sampled streams; beam/penalty/min_length requests "
                 "must go through generation.generate")
         if gen.do_sample and not 0.0 < gen.top_p <= 1.0:
+            # a genuine config bug, not a capability gap: plain ValueError
+            # so fallback-to-solo callers do NOT swallow it
             raise ValueError(
                 f"request {rid!r}: top_p must be in (0, 1], got {gen.top_p}")
         if gen.do_sample and self.spec:
-            raise ValueError(
+            raise UnsupportedRequest(
                 f"request {rid!r}: this server runs speculative greedy "
                 "decoding (spec-only mode); submit sampled requests to a "
                 "non-draft server or generation.generate")
@@ -156,7 +165,7 @@ class ContinuousBatcher:
         s_pad = s + (-s) % gen.pad_to_multiple
         if s_pad + gen.max_new_tokens > self.max_len:
             # reject per request instead of crashing the server mid-drain
-            raise ValueError(
+            raise UnsupportedRequest(
                 f"request {rid!r}: padded prompt ({s_pad}) + budget "
                 f"({gen.max_new_tokens}) exceeds server max_len "
                 f"({self.max_len})")
@@ -189,6 +198,7 @@ class ContinuousBatcher:
             self.temp[slot] = g.temperature
             self.topp[slot] = g.top_p
             self.counters[slot] = 1  # token 0 is sampled below
+            self.host_pulls += 1
             if g.do_sample:
                 tok, key = _first_token_sampled(
                     logits, jnp.int32(req.seed),
@@ -245,6 +255,7 @@ class ContinuousBatcher:
                     self.draft_cache, tgt_cfg=self.cfg,
                     dft_cfg=self.draft_cfg, k=self.spec_k,
                     rounds=self.spec_rounds)
+                self.host_pulls += 1
                 emits_h, cnts_h = np.asarray(emits), np.asarray(cnts)
                 self.cur = t_next
                 for slot in before:
@@ -273,6 +284,7 @@ class ContinuousBatcher:
                 # pure-greedy protocol traffic skips the per-step vocab sort
                 toks, self.cache = _decode_chunk_greedy(
                     self.params, self.cur, self.cache, self.cfg, self.chunk)
+            self.host_pulls += 1
             toks_h = np.asarray(toks)
             self.cur = toks[:, -1]
             for slot in before:
@@ -316,6 +328,7 @@ class AnswerService:
         self._results: Dict[object, List[int]] = {}
         self._next = 0
         self._stop = False
+        self._error: Optional[BaseException] = None
         self._thread = threading.Thread(
             target=self._loop, name="answer-service", daemon=True)
         self._thread.start()
@@ -334,11 +347,17 @@ class AnswerService:
         rejects — beam/penalty/min_length/overlong — so callers can fall
         back to solo generate."""
         with self._cond:
+            if self._error is not None:
+                raise RuntimeError(
+                    "AnswerService is dead (step failed)") from self._error
             rid = self._next
             self._next += 1
             self.cb.submit(rid, inputs_embeds, gen, seed=seed)  # may raise
             self._cond.notify_all()
             while rid not in self._results:
+                if self._error is not None:
+                    raise RuntimeError(
+                        "AnswerService died mid-request") from self._error
                 self._cond.wait()
             return self._results.pop(rid)
 
@@ -353,6 +372,15 @@ class AnswerService:
                     self._cond.wait()
                 if self._stop:
                     return
-                for req in self.cb.step():
-                    self._results[req.rid] = req.tokens
+                try:
+                    for req in self.cb.step():
+                        self._results[req.rid] = req.tokens
+                except BaseException as e:
+                    # wake every waiter (they re-raise this), then exit the
+                    # loop cleanly — re-raising here would only feed
+                    # threading.excepthook noise, the error already reaches
+                    # every current and future answer() caller
+                    self._error = e
+                    self._cond.notify_all()
+                    return
                 self._cond.notify_all()

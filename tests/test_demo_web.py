@@ -22,8 +22,11 @@ def server_port(tmp_path_factory):
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), demo_web.make_handler(chat))
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
-    yield httpd.server_address[1]
-    httpd.shutdown()
+    try:
+        yield httpd.server_address[1]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
 
 
 def _post(port, path, data, headers):
@@ -93,7 +96,20 @@ def test_concurrent_sessions_co_decode(tmp_path):
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
     p_plain = plain.server_address[1]
     p_served = served.server_address[1]
+    try:
+        _drive_co_decode(cv2, tmp_path, p_plain, p_served)
+    finally:
+        # cleanup must run even on failure: leaked serve_forever threads +
+        # a live AnswerService step loop otherwise outlive the test and
+        # pollute every later module (round-4 full-suite triage)
+        plain.shutdown()
+        plain.server_close()
+        served.shutdown()
+        served.server_close()
+        service.close()
 
+
+def _drive_co_decode(cv2, tmp_path, p_plain, p_served):
     vids = {}
     for name, base in (("a", 30), ("b", 90)):
         path = str(tmp_path / f"{name}.mp4")
@@ -141,10 +157,6 @@ def test_concurrent_sessions_co_decode(tmp_path):
     beam = ask(p_served, sids["a"], "What happens?", num_beams=2)
     assert isinstance(beam, str)
 
-    plain.shutdown()
-    served.shutdown()
-    service.close()
-
 
 def test_prefix_kv_multiturn_identical(tmp_path):
     """--prefix-kv path: a 3-turn conversation through the session-KV
@@ -164,31 +176,37 @@ def test_prefix_kv_multiturn_identical(tmp_path):
     for httpd in (plain, kvd):
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
 
-    path = str(tmp_path / "v.mp4")
-    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 64))
-    for i in range(16):
-        vw.write(np.full((64, 64, 3), 50 + 7 * i, np.uint8))
-    vw.release()
-    raw = open(path, "rb").read()
+    try:
+        path = str(tmp_path / "v.mp4")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10,
+                             (64, 64))
+        for i in range(16):
+            vw.write(np.full((64, 64, 3), 50 + 7 * i, np.uint8))
+        vw.release()
+        raw = open(path, "rb").read()
 
-    def drive(port):
-        sid = _post(port, "/api/upload?segments=4", raw,
-                    {"X-Filename": "v.mp4"})["session"]
-        answers = []
-        for q in ("What happens?", "Any people?", "What color?"):
-            body = {"session": sid, "question": q, "temperature": 0.0,
-                    "max_new_tokens": 5}
-            answers.append(_post(port, "/api/ask", json.dumps(body).encode(),
-                                 {"Content-Type": "application/json"})["answer"])
-        return sid, answers
+        def drive(port):
+            sid = _post(port, "/api/upload?segments=4", raw,
+                        {"X-Filename": "v.mp4"})["session"]
+            answers = []
+            for q in ("What happens?", "Any people?", "What color?"):
+                body = {"session": sid, "question": q, "temperature": 0.0,
+                        "max_new_tokens": 5}
+                answers.append(
+                    _post(port, "/api/ask", json.dumps(body).encode(),
+                          {"Content-Type": "application/json"})["answer"])
+            return sid, answers
 
-    sid_kv, got = drive(kvd.server_address[1])
-    _, want = drive(plain.server_address[1])
-    assert got == want
+        sid_kv, got = drive(kvd.server_address[1])
+        _, want = drive(plain.server_address[1])
+        assert got == want
 
-    ok = _post(kvd.server_address[1], "/api/reset",
-               json.dumps({"session": sid_kv}).encode(),
-               {"Content-Type": "application/json"})
-    assert ok == {"ok": True}
-    plain.shutdown()
-    kvd.shutdown()
+        ok = _post(kvd.server_address[1], "/api/reset",
+                   json.dumps({"session": sid_kv}).encode(),
+                   {"Content-Type": "application/json"})
+        assert ok == {"ok": True}
+    finally:
+        plain.shutdown()
+        plain.server_close()
+        kvd.shutdown()
+        kvd.server_close()

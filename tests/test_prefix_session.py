@@ -158,8 +158,9 @@ class TestPrefixSession:
 
     def test_repetition_penalty_host_loop(self):
         """Penalty/min_length configs (the simple-prompt chat mode,
-        reference conversation.py:220) run the per-token host loop on top
-        of the delta prefill — identical to solo generate, across turns."""
+        reference conversation.py:220) run the chunked on-device penalized
+        loop on top of the delta prefill — pinned against the host-loop
+        greedy oracle, identical to solo generate, across turns."""
         params = init_llama(jax.random.PRNGKey(21), CFG)
         gen = GenerationConfig(max_new_tokens=7, eos_token_id=-1,
                                stop_sequences=(), pad_to_multiple=8,

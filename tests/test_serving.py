@@ -460,3 +460,53 @@ class TestAnswerService:
         want = generate(params, _req(2, 6), llama_cfg=CFG, gen=gen)[0]
         assert svc.answer(_req(2, 6), gen) == want
         svc.close()
+
+    def test_step_failure_kills_service_not_waiters(self):
+        """If the service thread's step() raises, blocked answer() callers
+        get the error re-raised (no eternal wait on the condition variable)
+        and later calls fail fast — the ADVICE round-4 wedge scenario."""
+        import pytest
+
+        from stllm_tpu.serving import AnswerService
+
+        class _ExplodingBatcher:
+            def __init__(self):
+                self.queue, self.active = [], []
+
+            def submit(self, rid, embeds, gen, *, seed=0):
+                self.queue.append(rid)
+
+            def step(self):
+                raise RuntimeError("chip fell over")
+
+        svc = AnswerService(_ExplodingBatcher())
+        with pytest.raises(RuntimeError, match="AnswerService"):
+            svc.answer(_req(1, 5), GenerationConfig(max_new_tokens=4,
+                                                    pad_to_multiple=8))
+        # service is dead: subsequent calls raise immediately, no hang
+        with pytest.raises(RuntimeError, match="dead"):
+            svc.answer(_req(2, 5), GenerationConfig(max_new_tokens=4,
+                                                    pad_to_multiple=8))
+
+    def test_unsupported_vs_genuine_valueerror(self):
+        """Capability gaps raise UnsupportedRequest (callers fall back to
+        solo generate); a malformed config raises plain ValueError so the
+        fallback path does NOT swallow it."""
+        import pytest
+
+        from stllm_tpu.models.generation import UnsupportedRequest
+
+        params = init_llama(jax.random.PRNGKey(0), CFG)
+        cb = ContinuousBatcher(params, CFG, slots=1, max_len=32, chunk=4)
+        with pytest.raises(UnsupportedRequest):
+            cb.submit("beam", _req(1, 5),
+                      GenerationConfig(max_new_tokens=4, num_beams=3,
+                                       pad_to_multiple=8))
+        with pytest.raises(UnsupportedRequest):
+            cb.submit("long", _req(1, 5),
+                      GenerationConfig(max_new_tokens=99, pad_to_multiple=8))
+        with pytest.raises(ValueError) as ei:
+            cb.submit("badp", _req(1, 5),
+                      GenerationConfig(max_new_tokens=4, do_sample=True,
+                                       top_p=0.0, pad_to_multiple=8))
+        assert not isinstance(ei.value, UnsupportedRequest)

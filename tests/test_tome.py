@@ -385,3 +385,90 @@ class TestViTMergeSchedule:
         out = encode_img(params, frames, cfg)
         assert out.shape == (1, 2, 4, 24)   # (B, T, num_query, llama hidden)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestAutoMergeLevel:
+    """Redundancy-adaptive level selection (ops/tome.py select_merge_level
+    + stllm.resolve_auto_merge): temporal levels only for temporally
+    redundant input, nothing at all for iid noise, divisibility demotion,
+    and the config plumbing for merge_level names / "auto"."""
+
+    def _videos(self):
+        from stllm_tpu.data.synth import noise_video, synth_video
+
+        rng = np.random.default_rng(0)
+        smooth = synth_video(rng, 16, 224)
+        noise = noise_video(rng, 16, 224)
+        static = np.repeat(synth_video(rng, 1, 224), 16, axis=1)
+        return smooth, noise, static
+
+    def test_selector_maps_redundancy_to_levels(self):
+        from stllm_tpu.ops.tome import select_merge_level
+
+        smooth, noise, static = self._videos()
+        assert select_merge_level(smooth).startswith("t_")
+        assert select_merge_level(noise) == "off"
+        assert select_merge_level(static) == "t_aggressive"
+        # spatial-only restriction (single images / unfoldable callers)
+        assert not select_merge_level(
+            smooth, allow_temporal=False).startswith("t_")
+
+    def test_selector_respects_fold_divisibility(self):
+        from stllm_tpu.data.synth import synth_video
+        from stllm_tpu.ops.tome import MERGE_LEVELS, select_merge_level
+
+        rng = np.random.default_rng(1)
+        static6 = np.repeat(synth_video(rng, 1, 224), 6, axis=1)
+        lvl = select_merge_level(static6)   # wants t_aggressive (3 folds)
+        folds = len(MERGE_LEVELS[lvl].get("temporal_schedule", ()))
+        assert folds and 6 % (2 ** folds) == 0     # demoted to t_mild
+        odd = np.repeat(synth_video(rng, 1, 224), 5, axis=1)
+        assert not select_merge_level(odd).startswith("t_")
+
+    def test_resolve_auto_merge_sets_schedules(self):
+        import dataclasses
+
+        from stllm_tpu.models.stllm import STLLMConfig, resolve_auto_merge
+        from stllm_tpu.models.vit import EVA_VIT_G
+        from stllm_tpu.ops.tome import MERGE_LEVELS
+
+        cfg = STLLMConfig(vit=dataclasses.replace(
+            EVA_VIT_G, merge_level="auto"))
+        smooth, noise, _ = self._videos()
+        r = resolve_auto_merge(cfg, smooth)
+        assert r.vit.merge_level == ""
+        assert r.vit.temporal_schedule   # smooth video -> a temporal level
+        assert any(r.vit.temporal_schedule ==
+                   v.get("temporal_schedule") for v in MERGE_LEVELS.values())
+        rn = resolve_auto_merge(cfg, noise)
+        assert rn.vit.merge_schedule == () and rn.vit.temporal_schedule == ()
+        # non-auto config passes through untouched
+        assert resolve_auto_merge(r, smooth) is r
+
+    def test_resolve_auto_merge_debug_geometry_off(self):
+        import dataclasses
+
+        from stllm_tpu.models.stllm import STLLMConfig, resolve_auto_merge
+        from stllm_tpu.models.vit import ViTConfig
+
+        cfg = STLLMConfig(vit=ViTConfig(image_size=28, patch_size=14,
+                                        width=32, depth=4, heads=4,
+                                        mlp_hidden=64, dtype=jnp.float32,
+                                        merge_level="auto"))
+        smooth, _, _ = self._videos()
+        r = resolve_auto_merge(cfg, smooth[:, :, :28, :28])
+        assert r.vit.merge_level == ""
+        assert r.vit.merge_schedule == () and r.vit.temporal_schedule == ()
+
+    def test_zoo_expands_named_level(self):
+        from stllm_tpu.models.zoo import build_stllm_config
+        from stllm_tpu.ops.tome import level_kwargs
+
+        cfg = build_stllm_config({"vit": {"merge_level": "t_medium"}})
+        want = level_kwargs("t_medium")
+        assert cfg.vit.temporal_schedule == want["temporal_schedule"]
+        assert cfg.vit.merge_schedule == want["merge_schedule"]
+        assert cfg.vit.merge_level == ""
+        auto = build_stllm_config({"vit": {"merge_level": "auto"}})
+        assert auto.vit.merge_level == "auto"
+        assert auto.vit.merge_schedule == ()
