@@ -120,6 +120,25 @@ def main():
         if line["tome_fps"]:
             best = max(line["tome_fps"].values())
             line["tome_best_vs_baseline"] = round(best / REFERENCE_A100_FPS, 3)
+        # which level the accuracy evidence actually supports: the fastest
+        # level whose TRAINED-model smooth-video arm keeps every first
+        # token (TOME_EQUIV.json trained_levels, deepened proxy). Faster
+        # levels remain opt-in with their envelope numbers attached.
+        eq = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "TOME_EQUIV.json")
+        if os.path.exists(eq):
+            with open(eq) as f:
+                trained = json.load(f).get("trained_levels", {}).get(
+                    "levels", {})
+            safe = [k for k, v in trained.items()
+                    if v.get("smooth_video", {}).get(
+                        "first_token_match", 0) >= 1.0
+                    and k in line["tome_fps"]]
+            if safe:
+                flag = max(safe, key=lambda k: line["tome_fps"][k])
+                line["tome_accuracy_defensible_level"] = flag
+                line["tome_defensible_vs_baseline"] = round(
+                    line["tome_fps"][flag] / REFERENCE_A100_FPS, 3)
     # full-pipeline QA serving sidecar (script/bench_pipeline_serving.py:
     # encode interleaved with batched decode on one chip)
     pside = os.path.join(os.path.dirname(os.path.abspath(__file__)),

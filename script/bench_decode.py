@@ -71,13 +71,24 @@ CONVERT = {
                                                   free_dense=True,
                                                   quant_head=True,
                                                   fuse=True),
+    # per-group scale A/B (VERDICT r4 #4): tighter quantization than
+    # per-channel, at the cost of the Pallas epilogue scale fold and the
+    # K-prepad lever (per-group scales cannot be K-padded, ops/quant.py)
+    "int4g64": lambda p: quantize_llama_params_int4(p, group=64,
+                                                    free_dense=True),
+    "int4fg128": lambda p: quantize_llama_params_int4(p, group=128,
+                                                      free_dense=True,
+                                                      quant_head=True,
+                                                      fuse=True),
 }
 CFG = {"int4kv8": KV8}
 LABEL = {"bf16": "bf16 dense", "int8": "int8 W8A8",
          "int4": "int4 W4A16 (group=128)", "int4pc": "int4 W4A16 (per-chan)",
          "int4h8": "int4 W4A16 + int8 lm_head",
          "int4kv8": "int4 W4A16 + int8 head + int8 KV",
-         "int4f": "int4 W4A16 fused qkv/gateup + int8 head"}
+         "int4f": "int4 W4A16 fused qkv/gateup + int8 head",
+         "int4g64": "int4 W4A16 (group=64)",
+         "int4fg128": "int4 W4A16 fused + int8 head (group=128)"}
 
 
 def main():

@@ -124,6 +124,18 @@ def run_arm(params, name):
     print(f"[{name}] prefix session   per-turn ms: "
           f"{[round(m, 1) for m in sess_ms]}  reused: {reused}", flush=True)
 
+    # TTFT (time-to-first-token) arms: whole-turn latency is decode-bound
+    # (answer tokens cost the same either way); what prefix reuse actually
+    # removes is the history re-prefill, which IS the TTFT. max_new=1
+    # replays the same conversations measuring prefill+1 token.
+    gen1 = dataclasses.replace(gen, max_new_tokens=1)
+    run_full(params, turns, gen1, cfg, 1)
+    ttft_full = run_full(params, turns, gen1, cfg, 1)
+    run_session(params, turns, gen1, cfg, 1, max_len)
+    ttft_sess, _ = run_session(params, turns, gen1, cfg, 1, max_len)
+    print(f"[{name}] TTFT full {([round(m,1) for m in ttft_full])} "
+          f"session {([round(m,1) for m in ttft_sess])}", flush=True)
+
     later_full = sum(full[1:]) / (turns_n - 1)
     later_sess = sum(sess_ms[1:]) / (turns_n - 1)
     history = PROMPT0 + (turns_n - 1) * (answer + question)
@@ -140,6 +152,14 @@ def run_arm(params, name):
         "turn2plus_avg_ms_session": round(later_sess, 1),
         "turn2plus_speedup": round(later_full / later_sess, 2),
         "last_turn_speedup": round(full[-1] / sess_ms[-1], 2),
+        "ttft_ms_full": [round(m, 1) for m in ttft_full],
+        "ttft_ms_session": [round(m, 1) for m in ttft_sess],
+        "ttft_turn2plus_speedup": round(
+            sum(ttft_full[1:]) / max(sum(ttft_sess[1:]), 1e-9), 2),
+        "ttft_last_turn_speedup": round(ttft_full[-1] / ttft_sess[-1], 2),
+        "note": "whole-turn speedup is bounded by decode (answer tokens "
+                "cost the same either way); TTFT is what prefix reuse "
+                "removes",
     }
 
 

@@ -60,11 +60,14 @@ def build_cfg(vit_blocks: int, llama_layers: int) -> STLLMConfig:
     return STLLMConfig(
         vit=ViTConfig(image_size=224, patch_size=14, width=1408,
                       depth=vit_blocks, heads=16, mlp_hidden=6144,
-                      dtype=jnp.bfloat16, gelu_approx=True),
+                      dtype=jnp.bfloat16, gelu_approx=True,
+                      remat=True),   # 2.3B-param proxy: keep activations
+                                     # off the 16 GB chip during backward
         qformer=QFormerConfig(num_layers=4, dtype=jnp.bfloat16),
         llama=LlamaConfig(vocab_size=32000, hidden=4096,
                           num_layers=llama_layers, heads=32,
-                          intermediate=11008, max_positions=512),
+                          intermediate=11008, max_positions=512,
+                          remat=True),
         use_mask=False,
         video_input="mean",   # 32 video tokens -> short sequences
     )

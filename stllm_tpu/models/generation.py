@@ -776,21 +776,24 @@ class PrefixSession:
         need = max(p + (s - p) + (-(s - p)) % pad_m,
                    s + gen.max_new_tokens)
         w = min(self.max_len, -(-need // self._WINDOW) * self._WINDOW)
-        if self.cache is None:
-            self.cache = init_kv_cache(self.cfg, 1, w)
-            p = 0
-        elif self.cache.k[0].shape[1] < w:
-            self.cache = _grow_cache(self.cache, w=w)
-        self.last_reused = p
-
         delta, mask = _pad_prompt(
             inputs_embeds[:, p:],
             jnp.ones((1, s - p), jnp.int32), gen.pad_to_multiple)
-        cache = self.cache._replace(
-            length=jnp.full((1,), p, jnp.int32))
-        self.cache = None  # donated below; never hold a stale handle
-        logits, cache = _prefill_delta(self.params, delta, mask, cache,
-                                       self.cfg)
+        if self.cache is None and p == 0:
+            # fresh session: the from-scratch prefill program creates its
+            # cache in-jit — no input-cache buffers to carry, so turn 1
+            # costs what solo generate's prefill costs at the same bucket
+            self.last_reused = 0
+            logits, cache = _prefill(self.params, delta, mask, self.cfg, w)
+        else:
+            if self.cache.k[0].shape[1] < w:
+                self.cache = _grow_cache(self.cache, w=w)
+            self.last_reused = p
+            cache = self.cache._replace(
+                length=jnp.full((1,), p, jnp.int32))
+            self.cache = None  # donated below; never hold a stale handle
+            logits, cache = _prefill_delta(self.params, delta, mask, cache,
+                                           self.cfg)
 
         if gen.repetition_penalty != 1.0 or gen.min_length > 1:
             out, cache = _generate_penalized_ondevice(

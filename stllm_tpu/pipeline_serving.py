@@ -43,6 +43,12 @@ from stllm_tpu.serving import ContinuousBatcher
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
+def _embed_suffix(params, suffix_ids, cfg: STLLMConfig):
+    """Suffix-only embedding row for prefix-cache hits (no encode)."""
+    return params["llama"]["embed_tokens"][suffix_ids].astype(cfg.llama.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def _encode_assemble(params, frames, prefix_ids, suffix_ids, q_ids, q_mask,
                      cfg: STLLMConfig):
     """Encode one video and splice its tokens between the text embeddings.
@@ -59,8 +65,9 @@ def _encode_assemble(params, frames, prefix_ids, suffix_ids, q_ids, q_mask,
 
 class QARequest:
     def __init__(self, rid, frames, prefix_ids, suffix_ids, q_ids, q_mask,
-                 gen: GenerationConfig, seed: int):
+                 gen: GenerationConfig, seed: int, prefix_key=None):
         self.cfg = None   # per-request encode cfg (auto merge-level)
+        self.prefix_key = prefix_key
         self.rid = rid
         self.frames = frames
         self.prefix_ids = prefix_ids
@@ -90,19 +97,37 @@ class VideoQAServer:
 
     def __init__(self, params: Dict, cfg: STLLMConfig, *, slots: int = 4,
                  max_len: int = 1024, chunk: int = 16,
-                 batcher: Optional[ContinuousBatcher] = None):
+                 batcher: Optional[ContinuousBatcher] = None,
+                 prefix_cache_size: int = 2):
         self.params = params
         self.cfg = cfg
         self.batcher = batcher or ContinuousBatcher(
             params["llama"], cfg.llama, slots=slots, max_len=max_len,
             chunk=chunk)
         self.encode_queue: List[QARequest] = []
+        # cross-request prefix sharing: requests submitted with the same
+        # ``prefix_key`` (caller's video identity) reuse ONE system+video
+        # prefill — later questions on the same video skip the encode AND
+        # the ~600-token prefix prefill entirely (the vcgbench-consistency
+        # shape: several questions per video). key -> (prefix KV (1, P),
+        # P, q_ids guard, resolved encode cfg guard). ~0.37 GiB per 7B
+        # bf16 entry at P≈700 (half with kv_int8) — LRU-capped.
+        import collections
+
+        self._prefix_lru = collections.OrderedDict()
+        self._prefix_cache_size = prefix_cache_size
 
     # -- API -----------------------------------------------------------------
 
     def submit(self, rid, frames: jax.Array, prefix_ids, suffix_ids,
                gen: GenerationConfig = GenerationConfig(), *,
-               qformer_text_ids=None, qformer_text_mask=None, seed: int = 0):
+               qformer_text_ids=None, qformer_text_mask=None, seed: int = 0,
+               prefix_key=None):
+        """``prefix_key``: opaque identity of (video, system prompt) — same
+        key => the system+video prefix KV is computed once and shared;
+        internal guards (q_ids content, resolved encode cfg) force a fresh
+        prefill when the Q-Former conditioning text or the auto-selected
+        merge level differs, so a stale hit can never change answers."""
         assert frames.ndim == 5 and frames.shape[0] == 1, \
             "frames must be (1, T, H, W, C)"
         prefix_ids = jnp.asarray(prefix_ids, jnp.int32).reshape(1, -1)
@@ -127,7 +152,8 @@ class VideoQAServer:
                 f"({gen.max_new_tokens}) exceeds server max_len "
                 f"({self.batcher.max_len})")
         req = QARequest(rid, frames, prefix_ids, suffix_ids,
-                        qformer_text_ids, qformer_text_mask, gen, seed)
+                        qformer_text_ids, qformer_text_mask, gen, seed,
+                        prefix_key=prefix_key)
         # vit.merge_level == "auto": pick the merge level from this video's
         # own redundancy now (host-side stat, frames already in hand); the
         # encode step then uses the per-request resolved config
@@ -141,18 +167,59 @@ class VideoQAServer:
         idle = sum(r is None for r in b.active)
         return max(0, idle - len(b.queue))
 
+    def _prefix_guard(self, req):
+        """Hashable content guard for a prefix-cache hit: the Q-Former
+        conditioning text and the resolved encode config both shape the
+        video embedding, so either changing must miss."""
+        qb = (None if req.q_ids is None
+              else bytes(np.asarray(req.q_ids).tobytes()))
+        return (qb, req.cfg or self.cfg)
+
+    def _admit_one(self, req):
+        key = req.prefix_key
+        if key is not None and key in self._prefix_lru:
+            pkv, plen, guard = self._prefix_lru[key]
+            if guard == self._prefix_guard(req):
+                self._prefix_lru.move_to_end(key)
+                suf = _embed_suffix(self.params, req.suffix_ids,
+                                    cfg=self.cfg)
+                self.batcher.submit(req.rid, suf, req.gen, seed=req.seed,
+                                    prefix=pkv, prefix_len=plen)
+                return
+        embeds = _encode_assemble(self.params, req.frames,
+                                  req.prefix_ids, req.suffix_ids,
+                                  req.q_ids, req.q_mask,
+                                  cfg=req.cfg or self.cfg)
+        if key is None:
+            self.batcher.submit(req.rid, embeds, req.gen, seed=req.seed)
+            return
+        # first request of a key: prefill the system+video prefix ONCE and
+        # store it; this request then rides the same shared path later
+        # questions use (identical program shapes => identical numerics
+        # across all same-key answers)
+        from stllm_tpu.models.generation import _pad_prompt, _prefill
+
+        plen = embeds.shape[1] - req.suffix_ids.shape[1]
+        pemb, pmask = _pad_prompt(embeds[:, :plen],
+                                  jnp.ones((1, plen), jnp.int32),
+                                  req.gen.pad_to_multiple)
+        _, pkv = _prefill(self.params["llama"], pemb, pmask,
+                          self.cfg.llama, pemb.shape[1])
+        self._prefix_lru[key] = (pkv, plen, self._prefix_guard(req))
+        while len(self._prefix_lru) > self._prefix_cache_size:
+            _, (old, _, _) = self._prefix_lru.popitem(last=False)
+            for leaf in jax.tree_util.tree_leaves(old):
+                leaf.delete()
+        self.batcher.submit(req.rid, embeds[:, plen:], req.gen,
+                            seed=req.seed, prefix=pkv, prefix_len=plen)
+
     def step(self) -> List:
         """Encode as many queued videos as there are free decode slots,
         hand their embeddings to the batcher, advance one decode chunk.
         Returns requests finished this step."""
         n = min(self._free_slots(), len(self.encode_queue))
         for _ in range(n):
-            req = self.encode_queue.pop(0)
-            embeds = _encode_assemble(self.params, req.frames,
-                                      req.prefix_ids, req.suffix_ids,
-                                      req.q_ids, req.q_mask,
-                                      cfg=req.cfg or self.cfg)
-            self.batcher.submit(req.rid, embeds, req.gen, seed=req.seed)
+            self._admit_one(self.encode_queue.pop(0))
         return self.batcher.step()
 
     def run(self) -> Dict[object, List[int]]:

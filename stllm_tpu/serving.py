@@ -46,6 +46,24 @@ from stllm_tpu.models.generation import (
 from stllm_tpu.models.llama import KVCache, LlamaConfig, init_kv_cache
 
 
+@functools.partial(jax.jit, static_argnames=("w",))
+def _pad_prefix_kv(prefix: KVCache, w: int) -> KVCache:
+    """Zero-pad a stored (1, P, ...) prefix cache to time width ``w`` so a
+    suffix delta-prefill can continue it. NOT donating: the stored prefix
+    is reused by every later request that shares it."""
+    def pad_to(c):
+        return jnp.pad(c, ((0, 0), (0, w - c.shape[1]))
+                       + ((0, 0),) * (c.ndim - 2))
+
+    ks = vs = None
+    if prefix.k_scale is not None:
+        ks = tuple(pad_to(c) for c in prefix.k_scale)
+        vs = tuple(pad_to(c) for c in prefix.v_scale)
+    return KVCache(k=tuple(pad_to(c) for c in prefix.k),
+                   v=tuple(pad_to(c) for c in prefix.v),
+                   length=prefix.length, k_scale=ks, v_scale=vs)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _insert_slot(cache: KVCache, prefix: KVCache, slot: jax.Array
                  ) -> KVCache:
@@ -71,12 +89,15 @@ def _insert_slot(cache: KVCache, prefix: KVCache, slot: jax.Array
 
 class Request:
     def __init__(self, rid, inputs_embeds: jax.Array,
-                 gen: GenerationConfig, seed: int = 0):
+                 gen: GenerationConfig, seed: int = 0,
+                 prefix: Optional[KVCache] = None, prefix_len: int = 0):
         assert inputs_embeds.ndim == 3 and inputs_embeds.shape[0] == 1
         self.rid = rid
         self.embeds = inputs_embeds
         self.gen = gen
         self.seed = seed
+        self.prefix = prefix          # shared prompt-prefix KV (1, P, ...)
+        self.prefix_len = prefix_len  # host-known valid length of `prefix`
         self.tokens: List[int] = []
         self.done = False
 
@@ -144,7 +165,14 @@ class ContinuousBatcher:
 
     def submit(self, rid, inputs_embeds: jax.Array,
                gen: GenerationConfig = GenerationConfig(), *,
-               seed: int = 0):
+               seed: int = 0, prefix: Optional[KVCache] = None,
+               prefix_len: int = 0):
+        """``prefix``: a shared prompt-prefix KV cache (1, P, ...) with
+        host-known valid length ``prefix_len`` — ``inputs_embeds`` is then
+        ONLY the per-request suffix, delta-prefilled on top of a copy of
+        the prefix at admit (vLLM-style cross-request prefix sharing:
+        VideoQAServer reuses one video+system prefill across every question
+        on the same video). The stored prefix is never donated."""
         if (gen.num_beams > 1 or gen.repetition_penalty != 1.0
                 or gen.min_length > 1):
             raise UnsupportedRequest(
@@ -161,15 +189,20 @@ class ContinuousBatcher:
                 f"request {rid!r}: this server runs speculative greedy "
                 "decoding (spec-only mode); submit sampled requests to a "
                 "non-draft server or generation.generate")
+        if prefix is not None and self.spec:
+            raise UnsupportedRequest(
+                f"request {rid!r}: prefix sharing is not composed with "
+                "speculative mode (the draft tower has no shared prefix)")
         s = inputs_embeds.shape[1]
-        s_pad = s + (-s) % gen.pad_to_multiple
+        s_pad = prefix_len + s + (-s) % gen.pad_to_multiple
         if s_pad + gen.max_new_tokens > self.max_len:
             # reject per request instead of crashing the server mid-drain
             raise UnsupportedRequest(
                 f"request {rid!r}: padded prompt ({s_pad}) + budget "
                 f"({gen.max_new_tokens}) exceeds server max_len "
                 f"({self.max_len})")
-        self.queue.append(Request(rid, inputs_embeds, gen, seed))
+        self.queue.append(Request(rid, inputs_embeds, gen, seed,
+                                  prefix, prefix_len))
 
     # -- internals --------------------------------------------------------
 
@@ -182,10 +215,23 @@ class ContinuousBatcher:
                 req.embeds, jnp.ones(req.embeds.shape[:2], jnp.int32),
                 req.gen.pad_to_multiple)
             s_pad = emb.shape[1]
-            # per-bucket (1, s_pad) prefill program; insert is bucket-keyed
-            # too (prefix buffers are (1, s_pad, H, D))
-            logits, prefix = _prefill(self.params, emb, mask, self.cfg,
-                                      s_pad)
+            if req.prefix is not None:
+                # shared-prefix admit: copy-pad the stored prefix KV to the
+                # needed width, delta-prefill ONLY this request's suffix on
+                # top (same attention sums as a from-scratch prefill of the
+                # concatenated prompt — _prefill_delta's invariant)
+                from stllm_tpu.models.generation import _prefill_delta
+
+                w = max(req.prefix.k[0].shape[1],
+                        req.prefix_len + s_pad)
+                base = _pad_prefix_kv(req.prefix, w=w)
+                logits, prefix = _prefill_delta(self.params, emb, mask,
+                                                base, self.cfg)
+            else:
+                # per-bucket (1, s_pad) prefill program; insert is
+                # bucket-keyed too (prefix buffers are (1, s_pad, H, D))
+                logits, prefix = _prefill(self.params, emb, mask, self.cfg,
+                                          s_pad)
             self.cache = _insert_slot(self.cache, prefix,
                                       jnp.int32(slot))
             if self.spec:

@@ -208,3 +208,89 @@ class TestVideoQAServer:
                             _ids(40 + i, 2, 97), gen) for i in range(5)}
         for i in range(5):
             assert out[i] == want[i], i
+
+
+class TestSharedPrefix:
+    """Cross-request prefix sharing (submit(prefix_key=...)): same-key
+    requests reuse ONE system+video prefill — answers identical to the
+    unshared path, the encode actually skipped on hits, guard changes
+    (different q_ids) forcing a fresh prefill, and LRU eviction freeing
+    device memory without wrong answers afterwards."""
+
+    def _setup(self, monkeypatch):
+        import stllm_tpu.pipeline_serving as ps
+
+        params = init_stllm(jax.random.PRNGKey(0), CFG,
+                            init_llama_params=True)
+        calls = {"encode": 0}
+        real = ps._encode_assemble
+
+        def counting(*a, **kw):
+            calls["encode"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(ps, "_encode_assemble", counting)
+        return params, calls
+
+    def test_same_key_identical_and_encode_skipped(self, monkeypatch):
+        params, calls = self._setup(monkeypatch)
+        gen = GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        fr = _frames(7, 4)
+        pre = _ids(21, 5, 97)
+        q_ids = _ids(9, 6, CFG.qformer.vocab_size)
+        sufs = {r: _ids(30 + i, 3, 97) for i, r in enumerate("abc")}
+        want = {r: _offline(params, fr, pre, s, gen, q_ids)
+                for r, s in sufs.items()}
+
+        srv = VideoQAServer(params, CFG, slots=2, max_len=128, chunk=4)
+        for r, s in sufs.items():
+            srv.submit(r, fr, pre, s, gen, qformer_text_ids=q_ids,
+                       prefix_key="vid7")
+        got = srv.run()
+        assert got == want
+        # one encode for the whole key (the first request), not three
+        assert calls["encode"] == 1
+        assert list(srv._prefix_lru) == ["vid7"]
+
+    def test_guard_mismatch_forces_fresh_prefill(self, monkeypatch):
+        params, calls = self._setup(monkeypatch)
+        gen = GenerationConfig(max_new_tokens=5, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        fr = _frames(8, 4)
+        pre, suf = _ids(22, 5, 97), _ids(23, 3, 97)
+        qa = _ids(9, 6, CFG.qformer.vocab_size)
+        qb = _ids(10, 6, CFG.qformer.vocab_size)
+
+        srv = VideoQAServer(params, CFG, slots=2, max_len=128, chunk=4)
+        srv.submit("a", fr, pre, suf, gen, qformer_text_ids=qa,
+                   prefix_key="k")
+        srv.submit("b", fr, pre, suf, gen, qformer_text_ids=qb,
+                   prefix_key="k")
+        got = srv.run()
+        assert got["a"] == _offline(params, fr, pre, suf, gen, qa)
+        assert got["b"] == _offline(params, fr, pre, suf, gen, qb)
+        assert calls["encode"] == 2   # different q_ids: guard missed
+
+    def test_lru_eviction_then_correct_answers(self, monkeypatch):
+        params, calls = self._setup(monkeypatch)
+        gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        q_ids = _ids(9, 6, CFG.qformer.vocab_size)
+        vids = {k: _frames(40 + i, 4) for i, k in enumerate("xyz")}
+        pre, suf = _ids(24, 5, 97), _ids(25, 3, 97)
+
+        srv = VideoQAServer(params, CFG, slots=1, max_len=128, chunk=4,
+                            prefix_cache_size=1)
+        for i, (k, fr) in enumerate(vids.items()):
+            srv.submit(f"{k}{i}", fr, pre, suf, gen, qformer_text_ids=q_ids,
+                       prefix_key=k)
+        # re-ask the first video AFTER it was evicted by y and z
+        srv.submit("x_again", vids["x"], pre, suf, gen,
+                   qformer_text_ids=q_ids, prefix_key="x")
+        got = srv.run()
+        assert len(srv._prefix_lru) == 1
+        want = {k: _offline(params, fr, pre, suf, gen, q_ids)
+                for k, fr in vids.items()}
+        assert got["x0"] == want["x"] and got["x_again"] == want["x"]
+        assert got["y1"] == want["y"] and got["z2"] == want["z"]
