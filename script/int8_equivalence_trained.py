@@ -235,8 +235,8 @@ def main():
     params["vit"] = quantize_vit_params(params["vit"], free_dense=True)
     calib = jnp.concatenate([s["batch"]["frames"][0] for s in data[:2]], 0)
     params["vit"] = calibrate_vit_scales(params["vit"], calib, cfg.vit)
-    dense_llama = params["llama"]
-    params["llama"] = quantize_llama_params(dense_llama, free_dense=True)
+    llama_int8 = quantize_llama_params(params["llama"], free_dense=True)
+    params["llama"] = llama_int8
 
     int8_answers = [greedy_answer(params, s, cfg_q)[0] for s in data]
     result_int8 = grade(bf16_answers, int8_answers, margins)
@@ -267,9 +267,13 @@ def main():
         w4_results[name] = r
         print(json.dumps({name: r}), flush=True)
 
+    # write the quant-arm results NOW: a failure in the merge arms must
+    # not lose them (round-5 lesson)
+    _write_equiv(result_int8, w4_results)
+
     # ---- every shipped ToMe level on the trained int8 stack -------------
-    params["llama"] = quantize_llama_params(dense_llama, free_dense=True)
-    del dense_llama, w4_variants
+    params["llama"] = llama_int8
+    del w4_variants
     smooth_idx = [i for i, s in enumerate(data) if s["kind"] == "smooth"]
     noise_idx = [i for i, s in enumerate(data) if s["kind"] == "noise"]
     trained_levels = {}
@@ -297,15 +301,6 @@ def main():
 
     # ---- write artifacts -------------------------------------------------
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    epath = os.path.join(root, "EQUIV_INT8.json")
-    doc = json.load(open(epath)) if os.path.exists(epath) else {}
-    doc["trained_model"] = result_int8
-    doc["trained_model_w4a16"] = w4_results["w4a16"]
-    doc["trained_model_w4a16_g128"] = w4_results["w4a16_g128"]
-    doc["trained_model_w4a16_g64"] = w4_results["w4a16_g64"]
-    with open(epath, "w") as f:
-        json.dump(doc, f, indent=1)
-
     tpath = os.path.join(root, "TOME_EQUIV.json")
     tdoc = json.load(open(tpath)) if os.path.exists(tpath) else {}
     # supersedes the round-4 8-block n=8 arms (trained_model_medium /
@@ -319,7 +314,20 @@ def main():
     }
     with open(tpath, "w") as f:
         json.dump(tdoc, f, indent=1)
-    print(json.dumps({"written": [epath, tpath]}))
+    print(json.dumps({"written": tpath}))
+
+
+def _write_equiv(result_int8, w4_results):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    epath = os.path.join(root, "EQUIV_INT8.json")
+    doc = json.load(open(epath)) if os.path.exists(epath) else {}
+    doc["trained_model"] = result_int8
+    doc["trained_model_w4a16"] = w4_results["w4a16"]
+    doc["trained_model_w4a16_g128"] = w4_results["w4a16_g128"]
+    doc["trained_model_w4a16_g64"] = w4_results["w4a16_g64"]
+    with open(epath, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"written": epath}))
 
 
 if __name__ == "__main__":
