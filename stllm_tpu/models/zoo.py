@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import os
+import zlib
 from typing import Any, Callable, Dict, Mapping, Optional
 
 import jax
@@ -232,7 +233,9 @@ class STLLM:
 class ToyHashTokenizer:
     """Deterministic word-hash tokenizer with exact decode via a reverse map.
     Installed by ensure_tokenizers() for offline/debug runs — outputs are
-    gibberish but every code path (encode, stop sequences, decode) runs."""
+    gibberish but every code path (encode, stop sequences, decode) runs.
+    Hashing is crc32, not builtin hash(): PYTHONHASHSEED salts hash() per
+    process, so "deterministic" would otherwise only hold within one run."""
 
     def __init__(self, vocab_size: int, reserve: int = 10):
         self.vocab_size = vocab_size
@@ -242,7 +245,8 @@ class ToyHashTokenizer:
     def encode(self, text, add_special_tokens=False):
         ids = [1] if add_special_tokens else []
         for w in text.split(" "):
-            t = self.reserve + (hash(w) % (self.vocab_size - self.reserve))
+            t = self.reserve + (zlib.crc32(w.encode())
+                                % (self.vocab_size - self.reserve))
             self.rev[t] = w
             ids.append(t)
         return ids

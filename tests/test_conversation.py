@@ -3,6 +3,7 @@
 Prompt-format strings are asserted against the reference's template semantics
 (reference: stllm/conversation/conversation.py:46-64, 205-211, 301-340)."""
 
+import zlib
 import numpy as np
 import pytest
 
@@ -46,7 +47,7 @@ class ToyTokenizer:
         if add_special_tokens:
             ids.append(1)
         for w in text.split(" "):
-            t = 10 + (hash(w) % (self.vocab - 10))
+            t = 10 + (zlib.crc32(w.encode()) % (self.vocab - 10))
             self.rev[t] = w
             ids.append(t)
         return ids

@@ -1,6 +1,7 @@
 """Data layer tests: IT datasets (prompt format, retry), collator bridge,
 loader wrappers, and dataset -> loader -> collator -> forward integration."""
 
+import zlib
 import json
 import os
 
@@ -44,7 +45,8 @@ class ToyTokenizer:
 
     def encode(self, text, add_special_tokens=False):
         ids = [1] if add_special_tokens else []
-        ids += [10 + (hash(w) % (self.vocab - 10)) for w in text.split(" ")]
+        ids += [10 + (zlib.crc32(w.encode()) % (self.vocab - 10))
+                for w in text.split(" ")]
         return ids
 
     def decode(self, ids):

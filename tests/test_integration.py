@@ -1,6 +1,7 @@
 """End-to-end integration: the full pipeline (decode -> collate -> masked
 train step) OVERFITS a tiny synthetic corpus, and multi-turn chat works."""
 
+import zlib
 import json
 
 import numpy as np
@@ -45,7 +46,7 @@ class Tok:
     def encode(self, text, add_special_tokens=False):
         ids = [1] if add_special_tokens else []
         for w in text.split(" "):
-            t = 10 + (hash(w) % 1000)
+            t = 10 + (zlib.crc32(w.encode()) % 1000)
             self.rev[t] = w
             ids.append(t)
         return ids

@@ -10,6 +10,7 @@ The packed batch from TrainCollator/pack_training_batch must reproduce the
 same (content, label) sequence once padding is dropped. This is the proof
 obligation SURVEY.md §7 flags for the TPU re-formulation."""
 
+import zlib
 import numpy as np
 import pytest
 
@@ -30,7 +31,7 @@ class Tok:
 
     def encode(self, text, add_special_tokens=False):
         ids = [BOS] if add_special_tokens else []
-        ids += [10 + (hash(w) % 1000) for w in text.split(" ")]
+        ids += [10 + (zlib.crc32(w.encode()) % 1000) for w in text.split(" ")]
         return ids
 
     def decode(self, ids):
