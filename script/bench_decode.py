@@ -117,18 +117,32 @@ def main():
         del params
     print(results)
     # sidecar for bench.py: the production decode number rides along the
-    # round bench JSON without costing the driver a 7B compile
-    if "int4f" in results and batch == 1:
-        import json
-        side = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "BENCH_DECODE.json")
+    # round bench JSON without costing the driver a 7B compile.
+    # Merge-preserving: long_ctx / scale-granularity sections written by
+    # other invocations must survive.
+    import json
+    side = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DECODE.json")
+    doc = json.load(open(side)) if os.path.exists(side) else {}
+    if batch == 1:
+        if "int4f" in results:
+            doc["decode_w4a16_ms_per_token"] = round(results["int4f"], 2)
+            doc["protocol"] = ("512-token prefill + 64-token greedy, "
+                               "fused W4A16 + int8 head, one v5e chip")
+        if "int8" in results:
+            doc["int8_ms_per_token"] = round(results["int8"], 2)
+        grp = {v: round(results[v], 2) for v in
+               ("int4pc", "int4", "int4g64", "int4f", "int4fg128")
+               if v in results}
+        if any(v in grp for v in ("int4", "int4g64", "int4fg128")):
+            doc["w4a16_scale_granularity_ms_per_token"] = {
+                "variants": {LABEL[v]: ms for v, ms in grp.items()},
+                "note": "per-group (g=128/64) scales take the hoisted-XLA "
+                        "dequant fallback: K-varying scales cannot fold "
+                        "into the Pallas epilogue or K-prepad (ops/quant.py)",
+            }
         with open(side, "w") as f:
-            json.dump({"decode_w4a16_ms_per_token": round(
-                results["int4f"], 2),
-                "protocol": "512-token prefill + 64-token greedy, "
-                            "fused W4A16 + int8 head, one v5e chip",
-                "int8_ms_per_token": round(results.get("int8", 0.0), 2)
-                                     or None}, f, indent=1)
+            json.dump(doc, f, indent=1)
 
 
 if __name__ == "__main__":

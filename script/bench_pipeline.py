@@ -255,6 +255,22 @@ def main():
         line["from_video"] = run_from_video(one_qa_frames, cfg)
     print(json.dumps(line))
 
+    # persist keyed by stack+tome so arms accumulate across invocations
+    key = ("int4" if int4 else "int8" if int8 else "bf16") + \
+        (f"+tome={tome}" if tome else "")
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_PIPELINE.json")
+    doc = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except ValueError:
+            pass
+    doc[key] = line
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+
 
 if __name__ == "__main__":
     main()

@@ -47,7 +47,12 @@ def build(tome=None):
 
     cfg = STLLMConfig(vit=dataclasses.replace(EVA_VIT_G, gelu_approx=True),
                       video_input="all")
-    if tome:
+    if tome == "auto":
+        # per-request level from each video's own redundancy, resolved at
+        # submit time inside VideoQAServer (stllm.resolve_auto_merge)
+        cfg = dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, merge_level="auto"))
+    elif tome:
         cfg = dataclasses.replace(
             cfg, vit=dataclasses.replace(cfg.vit, **_tome_level_kwargs(tome)))
     params = init_stllm(jax.random.PRNGKey(0), cfg, init_llama_params=True)
@@ -62,17 +67,43 @@ def build(tome=None):
     return params, cfg
 
 
-def drain(params, cfg, slots, n, chunk=8):
+def drain(params, cfg, slots, n, chunk=8, selected=None):
+    """``cfg.vit.merge_level == "auto"`` gets MIXED traffic — alternating
+    smooth synthetic video (merge-friendly) and iid noise (must select
+    "off") — the regime the per-request selector exists for; fixed levels
+    keep the original all-noise traffic (level forced, content-independent
+    speed). ``selected`` (optional dict) counts the per-request levels."""
     rng = np.random.default_rng(1)
     gen = GenerationConfig(max_new_tokens=ANSWER, stop_sequences=(),
                            eos_token_id=-1, pad_to_multiple=64)
     vocab = cfg.llama.vocab_size
+    mixed = cfg.vit.merge_level == "auto"
+
+    from stllm_tpu.data.synth import noise_video, synth_video
+
+    # one fixed request set per drain: under "auto" the level (and thus the
+    # compiled encode program) depends on the CONTENT, so warmup and the
+    # timed runs must see identical videos or a timed run pays a compile
+    all_frames = []
+    for i in range(n):
+        if mixed and i % 2 == 0:
+            f = synth_video(rng, FRAMES, cfg.vit.image_size)
+        elif mixed:
+            f = noise_video(rng, FRAMES, cfg.vit.image_size)
+        else:
+            f = rng.integers(
+                0, 256,
+                (1, FRAMES, cfg.vit.image_size, cfg.vit.image_size, 3))
+        all_frames.append(jnp.asarray(f, jnp.uint8))
+        if mixed and selected is not None:
+            from stllm_tpu.ops.tome import select_merge_level
+
+            lvl = select_merge_level(np.asarray(all_frames[-1]))
+            selected[lvl] = selected.get(lvl, 0) + 1
 
     def submit_all(srv):
         for i in range(n):
-            frames = jnp.asarray(rng.integers(
-                0, 256, (1, FRAMES, cfg.vit.image_size, cfg.vit.image_size, 3)),
-                jnp.uint8)
+            frames = all_frames[i]
             srv.submit(i, frames,
                        jnp.asarray(rng.integers(0, vocab, (1, PREFIX))),
                        jnp.asarray(rng.integers(0, vocab, (1, SUFFIX))), gen,
@@ -104,7 +135,8 @@ def main():
                       if a.startswith("--slots=")), 4))
     params, cfg = build(tome)
 
-    t_serve = drain(params, cfg, slots, N_REQUESTS)
+    selected = {}
+    t_serve = drain(params, cfg, slots, N_REQUESTS, selected=selected)
     t_serial = drain(params, cfg, 1, 4) * (N_REQUESTS / 4)
 
     doc = {
@@ -122,6 +154,10 @@ def main():
                 "time); each admit costs one blocking first-token pull "
                 "(~30 ms axon-tunnel RT), which a local chip would not pay",
     }
+    if tome == "auto":
+        doc["traffic"] = ("mixed: alternating smooth synthetic video and "
+                          "iid noise; level resolved per request at submit")
+        doc["auto_selected"] = selected
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_PIPELINE_SERVING.json")
     merged = {}

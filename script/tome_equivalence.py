@@ -224,17 +224,17 @@ def main():
         cfg_auto = dataclasses.replace(
             cfg_q, vit=dataclasses.replace(cfg_q.vit, merge_level="auto"))
         chosen = {"smooth": {}, "noise": {}}
+        for kind, arm in (("smooth", samples), ("noise", noise)):
+            for s in arm:
+                lvl = select_merge_level(s["frames"])
+                chosen[kind][lvl] = chosen[kind].get(lvl, 0) + 1
 
-        def cfg_fn(s, kind):
-            lvl = select_merge_level(s["frames"])
-            chosen[kind][lvl] = chosen[kind].get(lvl, 0) + 1
+        def cfg_fn(s):
             return resolve_auto_merge(cfg_auto, s["frames"])
 
-        out, _ = run_samples(params, lambda s: cfg_fn(s, "smooth"),
-                             samples, "tome-auto")
+        out, _ = run_samples(params, cfg_fn, samples, "tome-auto")
         entry = grade(base_out, base_margins, out)
-        nout, _ = run_samples(params, lambda s: cfg_fn(s, "noise"),
-                              noise, "tome-auto-noise")
+        nout, _ = run_samples(params, cfg_fn, noise, "tome-auto-noise")
         entry["noise_frames"] = grade(base_noise, noise_margins, nout)
         entry["levels_chosen"] = chosen
         doc["levels"]["auto"] = entry

@@ -21,6 +21,7 @@ Protocol anchor: beam-5/greedy answers,
 reference stllm/test/qabench/msvd_qa.py:108-115.
 """
 
+import functools
 import json
 import os
 import sys
@@ -70,7 +71,10 @@ def make_step(cfg, tx):
         ll = jnp.take_along_axis(logp, ans_ids[..., None], axis=-1)
         return -ll.mean()
 
-    @jax.jit
+    # donate params+opt_state: at depth 16 the tree is ~7 GB bf16, and an
+    # undonated step holds old params + grads + new params concurrently —
+    # past the 16 GB chip. Donation lets XLA write updates in place.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, prompt, ans_ids):
         loss, grads = jax.value_and_grad(loss_fn)(params, prompt, ans_ids)
         updates, opt_state = tx.update(grads, opt_state, params)
