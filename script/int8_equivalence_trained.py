@@ -193,10 +193,14 @@ def main():
     print("training ...", flush=True)
     t0 = time.perf_counter()
     order = np.arange(n)
+    # ceil so a non-multiple tail still gets sampled (short final batch is
+    # padded by stack_batches' callers taking [:BATCH]); max(1,) keeps n<BATCH
+    # runnable for smoke invocations
+    spe = max(1, -(-n // BATCH))
     for it in range(steps):
-        if it % (n // BATCH) == 0:
+        if it % spe == 0:
             rng.shuffle(order)
-        sel = order[(it % (n // BATCH)) * BATCH:][:BATCH]
+        sel = order[(it % spe) * BATCH:][:BATCH]
         batch = stack_batches([data[i] for i in sel])
         state, metrics = step_fn(state, batch)
         if (it + 1) % 50 == 0:

@@ -328,7 +328,8 @@ def infer_mvbench_batch(
     from stllm_tpu.models.stllm import encode_img_mapped
 
     b = len(samples)
-    frames = jnp.asarray(np.stack([s["video"] for s in samples]))  # (B,T,H,W,C)
+    frames_np = np.stack([s["video"] for s in samples])  # (B,T,H,W,C)
+    frames = jnp.asarray(frames_np)
 
     q_ids = q_mask = None
     if chat.cfg.qformer_text_input and chat.qformer_tokenizer is not None:
@@ -349,8 +350,7 @@ def infer_mvbench_batch(
     # videos picks a level safe for their mixture)
     from stllm_tpu.models.stllm import resolve_auto_merge
 
-    cfg = resolve_auto_merge(chat.cfg,
-                             np.stack([s["video"] for s in samples]))
+    cfg = resolve_auto_merge(chat.cfg, frames_np)
     emb = encode_img_mapped(chat.params, frames, cfg, q_ids, q_mask)
     t, q = emb.shape[1], emb.shape[2]
     video_emb = emb.reshape(b, t * q, -1) if all_token else emb.mean(axis=1)

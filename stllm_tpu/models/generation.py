@@ -73,17 +73,11 @@ def _prefill(params, embeds, mask, cfg: LlamaConfig, max_len: int):
     return lm_head(params, last_hidden)[:, 0], cache
 
 
-@functools.partial(jax.jit, static_argnames=("w",), donate_argnums=(0,))
-def _grow_cache(cache: KVCache, w: int) -> KVCache:
-    """Zero-pad every cache buffer along the time axis to width ``w``.
-
-    PrefixSession sizes its cache to the CURRENT history bucket instead of
-    max_len: attention in prefill-into-cache and decode scans the whole
-    buffer (masked lanes cost compute even though they contribute 0.0), so
-    a 608-token first turn inside a 2048-slot buffer was paying 3.2x the
-    attention score work of solo generate — the round-4 turn-1 regression
-    (BENCH_PREFIX.json 445 vs 341 ms). Growth is one fused pad per buffer,
-    amortized over the turns that fit the new bucket."""
+def _pad_kv_time(cache: KVCache, w: int) -> KVCache:
+    """Zero-pad every KVCache buffer (incl. int8 scale planes) along the
+    time axis to width ``w``. Shared body for the donating wrapper below
+    and serving._pad_prefix_kv's copying one — a KVCache field added here
+    is padded everywhere."""
     def pad_to(c):
         return jnp.pad(c, ((0, 0), (0, w - c.shape[1]))
                        + ((0, 0),) * (c.ndim - 2))
@@ -95,6 +89,20 @@ def _grow_cache(cache: KVCache, w: int) -> KVCache:
     return KVCache(k=tuple(pad_to(c) for c in cache.k),
                    v=tuple(pad_to(c) for c in cache.v),
                    length=cache.length, k_scale=ks, v_scale=vs)
+
+
+@functools.partial(jax.jit, static_argnames=("w",), donate_argnums=(0,))
+def _grow_cache(cache: KVCache, w: int) -> KVCache:
+    """Donating pad-to-width (PrefixSession cache growth).
+
+    PrefixSession sizes its cache to the CURRENT history bucket instead of
+    max_len: attention in prefill-into-cache and decode scans the whole
+    buffer (masked lanes cost compute even though they contribute 0.0), so
+    a 608-token first turn inside a 2048-slot buffer was paying 3.2x the
+    attention score work of solo generate — the round-4 turn-1 regression
+    (BENCH_PREFIX.json 445 vs 341 ms). Growth is one fused pad per buffer,
+    amortized over the turns that fit the new bucket."""
+    return _pad_kv_time(cache, w)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
@@ -756,10 +764,14 @@ class PrefixSession:
 
         items = list(items)
         p = 0
-        for a, bb in zip(self.items, items):
-            if a != bb:
-                break
-            p += 1
+        if self.cache is not None:
+            # cache None with non-empty items = a previous turn died after
+            # donating the cache (device error mid-_prefill_delta); recover
+            # by re-prefilling from scratch instead of dereferencing None
+            for a, bb in zip(self.items, items):
+                if a != bb:
+                    break
+                p += 1
         # the last prompt position is always recomputed: its logits seed
         # the decode loop (a fully-cached prompt has no fresh logits)
         p = min(p, s - 1)

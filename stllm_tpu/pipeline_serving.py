@@ -173,7 +173,9 @@ class VideoQAServer:
         video embedding, so either changing must miss."""
         qb = (None if req.q_ids is None
               else bytes(np.asarray(req.q_ids).tobytes()))
-        return (qb, req.cfg or self.cfg)
+        mb = (None if req.q_mask is None
+              else bytes(np.asarray(req.q_mask).tobytes()))
+        return (qb, mb, req.cfg or self.cfg)
 
     def _admit_one(self, req):
         key = req.prefix_key
@@ -207,9 +209,13 @@ class VideoQAServer:
                           self.cfg.llama, pemb.shape[1])
         self._prefix_lru[key] = (pkv, plen, self._prefix_guard(req))
         while len(self._prefix_lru) > self._prefix_cache_size:
-            _, (old, _, _) = self._prefix_lru.popitem(last=False)
-            for leaf in jax.tree_util.tree_leaves(old):
-                leaf.delete()
+            # NO explicit leaf.delete(): a queued batcher Request may still
+            # hold this pkv as its `prefix` (several _admit_one calls can
+            # run before batcher.step() admits them), and deleting live
+            # buffers crashes the drain. Dropping the dict reference frees
+            # the device memory as soon as the last in-flight request is
+            # admitted (its _pad_prefix_kv makes a copy).
+            self._prefix_lru.popitem(last=False)
         self.batcher.submit(req.rid, embeds[:, plen:], req.gen,
                             seed=req.seed, prefix=pkv, prefix_len=plen)
 

@@ -41,8 +41,8 @@ import numpy as np
 
 from stllm_tpu.models.generation import (
     GenerationConfig, UnsupportedRequest, _decode_chunk_greedy,
-    _decode_chunk_mixed, _ends_with, _first_token_sampled, _pad_prompt,
-    _prefill)
+    _decode_chunk_mixed, _ends_with, _first_token_sampled, _pad_kv_time,
+    _pad_prompt, _prefill)
 from stllm_tpu.models.llama import KVCache, LlamaConfig, init_kv_cache
 
 
@@ -50,18 +50,9 @@ from stllm_tpu.models.llama import KVCache, LlamaConfig, init_kv_cache
 def _pad_prefix_kv(prefix: KVCache, w: int) -> KVCache:
     """Zero-pad a stored (1, P, ...) prefix cache to time width ``w`` so a
     suffix delta-prefill can continue it. NOT donating: the stored prefix
-    is reused by every later request that shares it."""
-    def pad_to(c):
-        return jnp.pad(c, ((0, 0), (0, w - c.shape[1]))
-                       + ((0, 0),) * (c.ndim - 2))
-
-    ks = vs = None
-    if prefix.k_scale is not None:
-        ks = tuple(pad_to(c) for c in prefix.k_scale)
-        vs = tuple(pad_to(c) for c in prefix.v_scale)
-    return KVCache(k=tuple(pad_to(c) for c in prefix.k),
-                   v=tuple(pad_to(c) for c in prefix.v),
-                   length=prefix.length, k_scale=ks, v_scale=vs)
+    is reused by every later request that shares it (the donating variant
+    is generation._grow_cache; both share generation._pad_kv_time)."""
+    return _pad_kv_time(prefix, w)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

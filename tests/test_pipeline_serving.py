@@ -272,6 +272,56 @@ class TestSharedPrefix:
         assert got["b"] == _offline(params, fr, pre, suf, gen, qb)
         assert calls["encode"] == 2   # different q_ids: guard missed
 
+    def test_eviction_with_queued_same_step_admits(self, monkeypatch):
+        """Several distinct-key requests admitted in ONE step(): the LRU
+        insert for a later key must not delete device buffers a
+        still-queued batcher request holds as its prefix (regression: the
+        old eviction called leaf.delete() and the drain crashed with
+        'Array has been deleted' whenever slots > prefix_cache_size)."""
+        params, calls = self._setup(monkeypatch)
+        gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        q_ids = _ids(9, 6, CFG.qformer.vocab_size)
+        vids = {k: _frames(50 + i, 4) for i, k in enumerate("pqr")}
+        pre, suf = _ids(26, 5, 97), _ids(27, 3, 97)
+
+        # slots >= #keys: all three _admit_one calls run before the
+        # batcher admits any of them; cache_size=1 evicts p and q while
+        # their requests still sit in batcher.queue
+        srv = VideoQAServer(params, CFG, slots=4, max_len=128, chunk=4,
+                            prefix_cache_size=1)
+        for i, (k, fr) in enumerate(vids.items()):
+            srv.submit(f"{k}{i}", fr, pre, suf, gen,
+                       qformer_text_ids=q_ids, prefix_key=k)
+        got = srv.run()
+        want = {k: _offline(params, fr, pre, suf, gen, q_ids)
+                for k, fr in vids.items()}
+        assert got == {"p0": want["p"], "q1": want["q"], "r2": want["r"]}
+
+    def test_qformer_mask_change_misses_guard(self, monkeypatch):
+        """Same prefix_key + same q_ids but a different qformer_text_mask
+        shapes a different video embedding — the guard must miss and
+        re-encode (regression: the guard hashed only q_ids, so the second
+        request silently reused the first mask's embedding)."""
+        params, calls = self._setup(monkeypatch)
+        gen = GenerationConfig(max_new_tokens=5, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        fr = _frames(12, 4)
+        pre, suf = _ids(28, 5, 97), _ids(29, 3, 97)
+        q_ids = _ids(9, 6, CFG.qformer.vocab_size)
+        full = jnp.ones_like(q_ids)
+        short = full.at[:, -3:].set(0)
+
+        srv = VideoQAServer(params, CFG, slots=2, max_len=128, chunk=4)
+        srv.submit("a", fr, pre, suf, gen, qformer_text_ids=q_ids,
+                   qformer_text_mask=full, prefix_key="k")
+        srv.submit("b", fr, pre, suf, gen, qformer_text_ids=q_ids,
+                   qformer_text_mask=short, prefix_key="k")
+        got = srv.run()
+        assert got["a"] == _offline(params, fr, pre, suf, gen, q_ids, full)
+        assert got["b"] == _offline(params, fr, pre, suf, gen, q_ids, short)
+        assert calls["encode"] == 2   # mask change: guard missed
+
     def test_lru_eviction_then_correct_answers(self, monkeypatch):
         params, calls = self._setup(monkeypatch)
         gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1,

@@ -219,6 +219,25 @@ class TestPrefixSession:
         assert sess.generate(emb, items, gen) == want
         assert sess.last_reused == 0
 
+    def test_recovers_from_died_turn(self):
+        """A turn that dies AFTER donating the cache (device error inside
+        _prefill_delta) leaves cache=None with stale non-empty items; the
+        next generate must re-prefill from scratch, not dereference None
+        (regression: AttributeError on self.cache.k[0] forever after)."""
+        params = init_llama(jax.random.PRNGKey(19), CFG)
+        gen = GenerationConfig(max_new_tokens=5, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        sess = PrefixSession(params, CFG, max_len=64)
+        emb = _emb(20, 10)
+        items = _titems(range(100, 110))
+        want = sess.generate(emb, items, gen)
+        # simulate the mid-turn failure state: donation point reached,
+        # items never updated for the failed turn
+        sess.cache = None
+        got = sess.generate(emb, items, gen)
+        assert got == want
+        assert sess.last_reused == 0   # full re-prefill, no stale reuse
+
 
 class TestItems:
     def test_video_identity_semantics(self):
