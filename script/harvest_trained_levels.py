@@ -50,9 +50,12 @@ def main():
     tdoc.pop("trained_model_medium", None)
     tdoc.pop("trained_model_t_medium", None)
     sect = tdoc.setdefault("trained_levels", {"model": MODEL,
-                                              "n_per_subset": 16,
                                               "levels": {}})
     sect["levels"].update(levels)
+    # sample count comes from the job's own per-arm output, never hardcoded
+    # (a partial/smoke run with a smaller n must not be mislabeled)
+    sect["n_per_subset"] = min(arm["smooth_video"]["n"]
+                               for arm in sect["levels"].values())
     done = sorted(sect["levels"])
     missing = sorted(k for k in MERGE_LEVELS if k != "off"
                      and k not in sect["levels"])

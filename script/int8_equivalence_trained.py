@@ -47,7 +47,8 @@ from stllm_tpu.models.qformer import QFormerConfig
 from stllm_tpu.models.stllm import STLLMConfig, encode_img, init_stllm
 from stllm_tpu.models.vit import ViTConfig
 from stllm_tpu.ops.tome import MERGE_LEVELS, scale_level_to_depth
-from stllm_tpu.train.step import create_train_state, make_train_step
+from stllm_tpu.train.step import (create_train_state, make_probe_optimizer,
+                                  make_train_step)
 
 T_FRAMES = 8          # supports the 3 chained folds of t_aggressive
 ANSWER_TOKENS = 16
@@ -157,24 +158,6 @@ def grade(base, got, margins=None):
     return out
 
 
-def make_optimizer_for(params, lr):
-    """AdamW when its two bf16 moment trees fit next to params+grads on a
-    16 GB chip; adafactor (factored second moment, no first) above ~1.5B
-    params — the deepened round-5 proxy is ~2.3B."""
-    import optax
-
-    n_params = sum(int(np.prod(x.shape))
-                   for x in jax.tree_util.tree_leaves(params))
-    if n_params > 1_500_000_000:
-        print(f"{n_params/1e9:.2f}B params: adafactor", flush=True)
-        return optax.chain(optax.clip_by_global_norm(1.0),
-                           optax.adafactor(learning_rate=lr * 10,
-                                           min_dim_size_to_factor=128))
-    from stllm_tpu.train.step import make_optimizer
-
-    return make_optimizer(learning_rate=lr, max_grad_norm=1.0)
-
-
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 400
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 32
@@ -185,7 +168,7 @@ def main():
     params = init_stllm(jax.random.PRNGKey(0), cfg)
     data = build_dataset(rng, n, cfg)
 
-    opt = make_optimizer_for(params, lr=2e-4)
+    opt = make_probe_optimizer(params, lr=2e-4)
     state = create_train_state(params, opt, lambda path: True)
     del params
     step_fn = jax.jit(make_train_step(cfg, opt), donate_argnums=(0,))

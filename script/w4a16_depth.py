@@ -105,15 +105,12 @@ def run_depth(depth, steps, n, rng):
     data = build_data(rng, n, cfg)
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree_util.tree_leaves(params))
-    if n_params > 1_500_000_000:
-        tx = optax.chain(optax.clip_by_global_norm(1.0),
-                         optax.adafactor(learning_rate=2e-3,
-                                         min_dim_size_to_factor=128))
-        opt_name = "adafactor"
-    else:
-        tx = optax.chain(optax.clip_by_global_norm(1.0),
-                         optax.adamw(2e-4))
-        opt_name = "adamw"
+    # same memory-driven chooser as the trained-equivalence harness, so the
+    # depth-scaling and equivalence arms train under one regime
+    from stllm_tpu.train.step import make_probe_optimizer
+
+    tx = make_probe_optimizer(params, lr=2e-4)
+    opt_name = "adafactor" if n_params > 1_500_000_000 else "adamw"
     opt_state = tx.init(params)
     step = make_step(cfg, tx)
 

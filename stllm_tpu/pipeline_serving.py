@@ -141,11 +141,22 @@ class VideoQAServer:
                 qformer_text_mask = jnp.asarray(
                     qformer_text_mask, jnp.int32).reshape(1, -1)
         # surface bad generation configs / over-long prompts at submit
-        # time (the batcher re-checks embeddings length at admit)
+        # time (the batcher re-checks the same formula at its own submit)
         t = frames.shape[1]
         v = self.cfg.num_video_tokens(t)
-        s = prefix_ids.shape[1] + v + suffix_ids.shape[1]
-        s_pad = s + (-s) % gen.pad_to_multiple
+        plen = prefix_ids.shape[1] + v
+        slen = suffix_ids.shape[1]
+        if prefix_key is not None:
+            # prefix-shared admit: the batcher pads ONLY the suffix on top
+            # of the unpadded prefix length (serving.py ContinuousBatcher.
+            # submit), which is up to pad_to_multiple-1 tokens larger than
+            # padding the concatenation — mirror its exact formula here so
+            # a request this check accepts can never be rejected mid-drain
+            # inside step()/run().
+            s_pad = plen + slen + (-slen) % gen.pad_to_multiple
+        else:
+            s = plen + slen
+            s_pad = s + (-s) % gen.pad_to_multiple
         if s_pad + gen.max_new_tokens > self.batcher.max_len:
             raise UnsupportedRequest(
                 f"request {rid!r}: padded prompt ({s_pad}) + budget "

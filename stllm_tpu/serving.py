@@ -218,6 +218,12 @@ class ContinuousBatcher:
                 base = _pad_prefix_kv(req.prefix, w=w)
                 logits, prefix = _prefill_delta(self.params, emb, mask,
                                                 base, self.cfg)
+                # Drop the request's handle on the shared prefix KV NOW:
+                # the slot cache holds the delta-prefilled copy, and an
+                # LRU-evicted prefix (~0.37 GiB at 7B bf16) must not stay
+                # pinned on device for this request's whole decode just
+                # because `req` sits in `active`/`_finished`.
+                req.prefix = None
             else:
                 # per-bucket (1, s_pad) prefill program; insert is
                 # bucket-keyed too (prefix buffers are (1, s_pad, H, D))
@@ -230,6 +236,7 @@ class ContinuousBatcher:
                                       self.draft_cfg, s_pad)
                 self.draft_cache = _insert_slot(self.draft_cache, dprefix,
                                                 jnp.int32(slot))
+            req.embeds = None  # prompt embeddings are consumed; free them
             g = req.gen
             self.samp[slot] = g.do_sample
             self.temp[slot] = g.temperature

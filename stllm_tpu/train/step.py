@@ -143,6 +143,25 @@ def make_optimizer(
     return tx
 
 
+def make_probe_optimizer(params, lr) -> optax.GradientTransformation:
+    """Memory-driven optimizer chooser for the on-chip proxy-training
+    evidence harnesses (script/int8_equivalence_trained.py,
+    script/w4a16_depth.py): AdamW while its two moment trees fit next to
+    params+grads on a 16 GB v5e, adafactor (factored second moment, no
+    first) above ~1.5B params. One definition so the trained-equivalence
+    and depth-scaling arms always train under the same regime."""
+    import numpy as np
+
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(params))
+    if n_params > 1_500_000_000:
+        print(f"{n_params / 1e9:.2f}B params: adafactor", flush=True)
+        return optax.chain(optax.clip_by_global_norm(1.0),
+                           optax.adafactor(learning_rate=lr * 10,
+                                           min_dim_size_to_factor=128))
+    return make_optimizer(learning_rate=lr, max_grad_norm=1.0)
+
+
 class TrainState(NamedTuple):
     step: jax.Array
     params: Any          # trainable subtree (ABSENT elsewhere)

@@ -344,3 +344,75 @@ class TestSharedPrefix:
                 for k, fr in vids.items()}
         assert got["x0"] == want["x"] and got["x_again"] == want["x"]
         assert got["y1"] == want["y"] and got["z2"] == want["z"]
+
+    def test_submit_check_matches_batcher_admission(self, monkeypatch):
+        """The submit-time length check must use the BATCHER's formula for
+        prefix-shared requests — `plen + pad_up(suffix)`, not
+        `pad_up(plen + suffix)` (up to pad_to_multiple-1 smaller).
+        Regression: a request in that window was accepted at submit, then
+        ContinuousBatcher.submit raised UnsupportedRequest from inside
+        step()/run(), aborting the whole drain."""
+        import pytest
+
+        from stllm_tpu.models.generation import UnsupportedRequest
+
+        params, calls = self._setup(monkeypatch)
+        gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        fr = _frames(31, 4)
+        pre, suf = _ids(32, 5, 97), _ids(33, 3, 97)
+        # plen = 5 + 16 video tokens = 21 (not a multiple of 8), slen = 3:
+        # pad_up(21+3)+4 = 28 <= max_len=28 < 21+pad_up(3)+4 = 33
+        srv = VideoQAServer(params, CFG, slots=2, max_len=28, chunk=4)
+        with pytest.raises(UnsupportedRequest):
+            srv.submit("a", fr, pre, suf, gen, prefix_key="k")
+        # same shape WITHOUT prefix sharing fits (concatenated pad) and
+        # must still be accepted and drain to the offline answer
+        srv.submit("b", fr, pre, suf, gen)
+        assert srv.run() == {"b": _offline(params, fr, pre, suf, gen)}
+
+    def test_prefix_request_at_exact_boundary_drains(self, monkeypatch):
+        """A prefix-shared pair sized to land exactly on the admission
+        bound (plen + pad_up(suffix) + budget == max_len) must drain with
+        offline-identical answers — proof the submit-time and batcher
+        formulas agree at the edge."""
+        params, calls = self._setup(monkeypatch)
+        gen = GenerationConfig(max_new_tokens=4, eos_token_id=-1,
+                               stop_sequences=(), pad_to_multiple=8)
+        fr = _frames(34, 4)
+        pre, suf = _ids(35, 5, 97), _ids(36, 3, 97)
+        # 21 + pad_up(3)=8 + 4 == 33
+        srv = VideoQAServer(params, CFG, slots=2, max_len=33, chunk=4)
+        srv.submit("a", fr, pre, suf, gen, prefix_key="k")
+        srv.submit("b", fr, pre, suf, gen, prefix_key="k")
+        want = _offline(params, fr, pre, suf, gen)
+        assert srv.run() == {"a": want, "b": want}
+        assert calls["encode"] == 1
+
+
+def test_admitted_request_releases_prefix_and_embeds():
+    """Once a slot holds the delta-prefilled copy, the Request must drop
+    its handles on the shared prefix KV and the prompt embeddings — an
+    LRU-evicted prefix (~0.37 GiB at 7B bf16) must not stay pinned on
+    device for the request's whole decode (VideoQAServer's eviction
+    comment promises it is freed at admit)."""
+    from stllm_tpu.models.generation import _pad_prompt, _prefill
+
+    params = init_stllm(jax.random.PRNGKey(1), CFG, init_llama_params=True)
+    lp = params["llama"]
+    gen = GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                           stop_sequences=(), pad_to_multiple=8)
+    rng = np.random.default_rng(7)
+    plen = 11
+    pemb, pmask = _pad_prompt(
+        jnp.asarray(rng.normal(size=(1, plen, 64)) * 0.02, jnp.float32),
+        jnp.ones((1, plen), jnp.int32), 8)
+    _, pkv = _prefill(lp, pemb, pmask, CFG.llama, pemb.shape[1])
+    suf = jnp.asarray(rng.normal(size=(1, 3, 64)) * 0.02, jnp.float32)
+
+    cb = ContinuousBatcher(lp, CFG.llama, slots=2, max_len=64, chunk=4)
+    cb.submit("a", suf, gen, prefix=pkv, prefix_len=plen)
+    cb.step()   # admits into a slot
+    req = next(r for r in cb.active if r is not None)
+    assert req.prefix is None and req.embeds is None
+    cb.run()
